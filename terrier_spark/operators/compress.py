@@ -1,0 +1,92 @@
+"""Delta-gap + VByte posting-list codec, numpy-vectorized (SURVEY.md §7.4).
+
+Posting lists store strictly-increasing docnos. We encode:
+    gaps = [docno[0], docno[1]-docno[0], ...]    (first value absolute)
+then VByte each gap: little-endian 7-bit groups, HIGH BIT SET ON THE LAST
+byte of each value (classic Scholer et al. variable-byte convention).
+Term frequencies are VByte-encoded in a parallel stream.
+
+All encode/decode paths are numpy array programs — no per-value Python
+loops — matching the reference's vectorized-kernel discipline
+(/root/reference/src/execution/sql/vector_operations/, 2048-tuple
+batches).  Encoding runs inside Arrow pandas UDFs, so the per-batch cost
+is one numpy pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VBYTE_LEN = 10  # 64 bits / 7
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array; returns the byte stream."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # Byte length of each value: 1 + number of 7-bit shifts still nonzero.
+    nbytes = np.ones(v.size, dtype=np.int64)
+    shifted = v >> np.uint64(7)
+    while shifted.any():
+        nbytes += (shifted > 0).astype(np.int64)
+        shifted >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    work = v.copy()
+    for k in range(_MAX_VBYTE_LEN):
+        mask = nbytes > k
+        if not mask.any():
+            break
+        pos = starts[mask] + k
+        byte = (work[mask] & np.uint64(0x7F)).astype(np.uint8)
+        is_last = (nbytes[mask] - 1) == k
+        out[pos] = byte | np.where(is_last, np.uint8(0x80), np.uint8(0))
+        work[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode a VByte stream back to uint64."""
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    last = (a & 0x80) > 0
+    n_vals = int(last.sum())
+    gidx = np.cumsum(last) - last  # value index per byte
+    ends = np.flatnonzero(last)
+    starts = np.empty(n_vals, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    offsets = np.arange(a.size, dtype=np.int64) - starts[gidx]
+    contrib = (a & 0x7F).astype(np.uint64) << (offsets.astype(np.uint64) * np.uint64(7))
+    vals = np.zeros(n_vals, dtype=np.uint64)
+    np.bitwise_or.at(vals, gidx, contrib)
+    return vals
+
+
+def delta_encode(docnos: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int array -> gaps (first absolute)."""
+    d = np.ascontiguousarray(docnos, dtype=np.uint64)
+    if d.size == 0:
+        return d
+    gaps = np.empty_like(d)
+    gaps[0] = d[0]
+    gaps[1:] = d[1:] - d[:-1]
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.uint64), dtype=np.uint64)
+
+
+def encode_posting_list(docnos: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """(sorted docnos, tfs) -> (docno_blob, tf_blob)."""
+    return vbyte_encode(delta_encode(docnos)), vbyte_encode(tfs.astype(np.uint64))
+
+
+def decode_posting_list(docno_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    docnos = delta_decode(vbyte_decode(docno_blob))
+    tfs = vbyte_decode(tf_blob)
+    return docnos, tfs

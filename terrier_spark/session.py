@@ -1,0 +1,57 @@
+"""SparkSession construction tuned for this engine.
+
+Defaults are sized for the sandbox (local[N], 32 cores, 128 GiB) but the
+same knobs are the ones that matter on a 1000-executor cluster:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+- Arrow enabled for every pandas UDF exchange;
+- shuffle partitions sized to the parallelism level rather than the
+  200 default (at cluster scale this would be ~2-3x total cores);
+- broadcast threshold left at default so small dims broadcast.
+
+Reference analog: the reference sizes its TBB worker pool and per-thread
+states at startup (src/execution/sql/thread_state_container.cpp); here the
+session config is the equivalent startup decision.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "terrier_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a real
+    cluster this function would be called with master/deploy-mode set by
+    spark-submit; everything else is identical.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        # ~1 partition per core locally; on a cluster: 2-3x total cores.
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
