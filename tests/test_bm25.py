@@ -1,0 +1,40 @@
+import pytest
+
+from terrier_spark import oracle
+from terrier_spark.operators.score import bm25_topk_blocks, bm25_topk_exploded
+
+QUERIES = [
+    "int",                                # hottest term
+    "int return",                         # two hot terms
+    "foo_bar the",                        # identifier + hot
+    "Int RETURN int",                     # mixed case + dup (normalization)
+    "zzz_absent int",                     # absent + present
+    "zzz_absent",                         # fully absent
+    "",                                   # empty
+    "template namespace static sizeof",   # per-lang keywords
+    "node_list_map key0 idx",             # rarer identifiers
+]
+
+
+def _check(got_rows, exp, k=10):
+    got = [(r["doc_id"], r["score"]) for r in got_rows]
+    assert [d for d, _ in got] == [d for d, _ in exp], (got[:3], exp[:3])
+    for (_, a), (_, b) in zip(got, exp):
+        assert abs(a - b) < 1e-9
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_exploded_rank_identical(spark_index, oracle_index, query):
+    exp = oracle.bm25_topk(oracle_index, query, 10)
+    _check(bm25_topk_exploded(spark_index, query, 10).collect(), exp)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_blocks_rank_identical(spark_index, oracle_index, query):
+    exp = oracle.bm25_topk(oracle_index, query, 10)
+    _check(bm25_topk_blocks(spark_index, query, 10).collect(), exp)
+
+
+def test_k_larger_than_corpus(spark_index, oracle_index):
+    exp = oracle.bm25_topk(oracle_index, "int", 10_000)
+    _check(bm25_topk_blocks(spark_index, "int", 10_000).collect(), exp)

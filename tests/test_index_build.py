@@ -1,0 +1,64 @@
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from terrier_spark.operators.compress import decode_posting_list, vbyte_decode
+
+
+def test_collection_stats_exact(spark_index, oracle_index):
+    assert spark_index.num_docs == oracle_index.num_docs
+    assert spark_index.num_tokens == oracle_index.num_tokens
+    assert abs(spark_index.avgdl - oracle_index.avgdl) < 1e-12
+
+
+def test_lexicon_exact(spark_index, oracle_index):
+    lex = {r["term"]: (r["df"], r["cf"]) for r in spark_index.lexicon.collect()}
+    exp = {t: (oracle_index.df[t], oracle_index.cf[t]) for t in oracle_index.df}
+    assert lex == exp
+
+
+def test_docnos_dense_and_ordered(spark_index):
+    rows = spark_index.docmap.orderBy("docno").collect()
+    docnos = [r["docno"] for r in rows]
+    assert docnos == list(range(len(rows)))
+    doc_ids = [r["doc_id"] for r in rows]
+    assert doc_ids == sorted(doc_ids)  # docno order == doc_id order
+
+
+def test_doclens_exact(spark_index, oracle_index):
+    got = {r["doc_id"]: r["doclen"] for r in spark_index.docmap.collect()}
+    assert got == oracle_index.doclen
+
+
+def test_blocks_roundtrip_to_postings(spark_index, oracle_index):
+    """Decoding every block reproduces the oracle postings exactly."""
+    docno_to_id = {
+        r["docno"]: r["doc_id"] for r in spark_index.docmap.collect()
+    }
+    got: dict[str, dict[str, int]] = {}
+    for r in spark_index.blocks.collect():
+        docnos, tfs = decode_posting_list(bytes(r["docno_blob"]), bytes(r["tf_blob"]))
+        dls = vbyte_decode(bytes(r["dl_blob"]))
+        assert r["n_docs"] == len(docnos)
+        assert r["first_docno"] == int(docnos[0])
+        assert r["last_docno"] == int(docnos[-1])
+        assert r["max_tf"] == int(tfs.max())
+        assert r["min_dl"] == int(dls.min())
+        # docnos strictly increasing within a block
+        assert (np.diff(docnos.astype(np.int64)) > 0).all() or len(docnos) == 1
+        for dn, tf, dl in zip(docnos, tfs, dls):
+            doc_id = docno_to_id[int(dn)]
+            got.setdefault(r["term"], {})[doc_id] = int(tf)
+            assert oracle_index.doclen[doc_id] == int(dl)
+    assert got == oracle_index.postings
+
+
+def test_hot_term_spreads_over_buckets(spark_index):
+    """Skew design: a hot term's postings land in many (term,bucket) rows."""
+    hot = (
+        spark_index.blocks.filter(F.col("term") == "int")
+        .select("bucket")
+        .distinct()
+        .count()
+    )
+    assert hot > 1
