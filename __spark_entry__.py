@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: end-to-end inverted-index build + BM25 top-10
+                 over the sf0.001 documents table.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 the training-data pipeline ops).
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible entry
+                 (terrier_spark/plans/oracles.py); approximate /
+                 hash-seeded ops (minhash, simhash, IVF, hyperplane LSH,
+                 stubbed multimodal features) are rows-only by design.
 """
 
 from __future__ import annotations
@@ -13,26 +16,62 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from terrier_spark.plans import relational as R
+from terrier_spark.plans import textqueries as T
+from terrier_spark.plans.oracles import ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return T.ir_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator inventory (SURVEY.md §2)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_local_supplier": R.q5_local_supplier,
+        "q6_revenue": R.q6_revenue,
+        "q_topk_orders": R.q_topk_orders,
+        "q_limit_offset": R.q_limit_offset,
+        "q_distinct": R.q_distinct,
+        "q_semi_join": R.q_semi_join,
+        "q_anti_join": R.q_anti_join,
+        "q_outer_join": R.q_outer_join,
+        "q_having": R.q_having,
+        "q_window_rank": R.q_window_rank,
+        "q_sessionize": R.q_sessionize,
+        "q_setops": R.q_setops,
+        "q_case_string": R.q_case_string,
+        "q_date_extract": R.q_date_extract,
+        "q_rollup": R.q_rollup,
+        "q_in_subquery": R.q_in_subquery,
+        "q_scalar_subquery": R.q_scalar_subquery,
+        "q_events_tumbling": R.q_events_tumbling,
+        # IR engine (north rule)
+        "ir_term_stats": T.ir_term_stats,
+        "ir_collection_stats": T.ir_collection_stats,
+        "ir_bm25_topk": T.ir_bm25_topk,
+        # text analysis
+        "text_token_counts": T.text_token_counts,
+        "text_quality": T.text_quality,
+        "text_langid": T.text_langid,
+        # dedup
+        "dedup_exact_docs": T.dedup_exact_docs,
+        "dedup_ngram_pairs": T.dedup_ngram_pairs,
+        "dedup_minhash_pairs": T.dedup_minhash_pairs,
+        "dedup_simhash_pairs": T.dedup_simhash_pairs,
+        # similarity search
+        "emb_cosine_topk": T.emb_cosine_topk,
+        "emb_knn_per_label": T.emb_knn_per_label,
+        "emb_ivf_topk": T.emb_ivf_topk,
+        "emb_neardup_pairs": T.emb_neardup_pairs,
+        # multimodal plumbing
+        "mm_byte_stats": T.mm_byte_stats,
+        "mm_features": T.mm_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

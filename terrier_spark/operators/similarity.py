@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``          : brute-force exact top-k vs a query vector.
+  The dot product / norms are JVM built-ins (F.aggregate / F.zip_with) —
+  no Python in the scan; top-k is TakeOrderedAndProject (per-partition
+  heaps + merge, the reference's SorterSortTopKParallel,
+  /root/reference/src/execution/sql/sorter.cpp:153-315).
+- ``cosine_topk_pandas``   : same semantics through a vectorized Arrow
+  kernel (numpy matmul per batch) — the faster path when k and dim are
+  large; used to cross-check the built-in path.
+- ``ivf_topk``             : IVF-style ANN — k-means-lite centroids
+  (deterministic seeded sample, Lloyd iterations in numpy on a sample),
+  vectors bucketed to nearest centroid at index time; queries probe the
+  ``nprobe`` nearest centroids only.  The scale path: scan cost drops
+  to nprobe/C of the corpus; bucket assignment is a broadcast of C
+  centroids, never a shuffle of the vectors.
+- ``embedding_neardup_pairs``: all-pairs cosine ≥ threshold via LSH
+  (random-hyperplane signatures, banded) verified exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity. Returns (vec_id, cos) ordered by
+    cos desc, vec_id asc; cos rounded to 1e-9 for a stable tie-break."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cos = F.bround(_dot(vec_d, qcol) / (_norm(vec_d) * F.lit(qn)), 9)
+    return (
+        df.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_topk_pandas(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same as cosine_topk via a numpy matmul Arrow kernel: per input
+    partition emit only its local top-k, then global TakeOrdered."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for b in it:
+            m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            cos = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            part = pd.DataFrame({"vec_id": b[id_col], "cos": np.round(cos, 9)})
+            best = part if best is None else pd.concat([best, part])
+            best = best.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        if best is not None:
+            yield best
+
+    local = df.select(id_col, vec_col).mapInPandas(kernel, schema="vec_id long, cos double")
+    return local.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+# ------------------------------------------------------------------ IVF
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's k-means on a deterministic sample (driver-side numpy).
+    At 100 TB the sample is still tiny; the expensive part (assignment)
+    stays distributed in ivf_assign."""
+    rows = df.select(vec_col).orderBy(F.crc32(F.col(vec_col).cast("string"))).limit(sample).collect()
+    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``cluster`` column: nearest centroid (broadcast, Arrow kernel)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for b in it:
+            m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            b = b[[id_col, vec_col]].copy()
+            b["cluster"] = d.argmin(axis=1).astype(np.int32)
+            yield b
+
+    vt = dict(df.dtypes)[vec_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, {vec_col} {vt}, cluster int"
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing the nprobe nearest clusters (partition pruning:
+    with the assigned table written partitioned by cluster, the scan
+    reads only nprobe/C of the data)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d)[:nprobe]]
+    cand = assigned.filter(F.col("cluster").isin(probe))
+    return cosine_topk_pandas(cand, query_vec, k, id_col, vec_col)
+
+
+# ------------------------------------------------- embedding near-dup LSH
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold, found via random-hyperplane LSH
+    (sign bits → bucket key on two 8-bit halves) and verified exactly."""
+    first = df.select(vec_col).first()
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    spark = df.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bp.value
+        half = n_planes // 2
+        for b in it:
+            m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            bits = (m @ pl.T) > 0
+            weights_lo = 1 << np.arange(half)
+            lo = (bits[:, :half] * weights_lo).sum(axis=1)
+            hi = (bits[:, half:] * weights_lo).sum(axis=1)
+            out = b[[id_col, vec_col]].copy()
+            out["b_lo"] = lo.astype(np.int64)
+            out["b_hi"] = hi.astype(np.int64)
+            yield out
+
+    vt = dict(df.dtypes)[vec_col]
+    sig = df.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} long, {vec_col} {vt}, b_lo long, b_hi long"
+    ).persist()
+
+    cands = None
+    for band in ["b_lo", "b_hi"]:
+        x = sig.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), F.col(band).alias("bk"))
+        y = sig.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), F.col(band).alias("bk"))
+        p = x.join(y, "bk").filter(F.col("id1") < F.col("id2")).drop("bk")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.dropDuplicates(["id1", "id2"])
+
+    v1 = F.transform("v1", lambda x: x.cast("double"))
+    v2 = F.transform("v2", lambda x: x.cast("double"))
+    cos = F.bround(_dot(v1, v2) / (_norm(v1) * _norm(v2)), 9)
+    return (
+        cands.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )

@@ -1,0 +1,474 @@
+"""DuckDB oracle SQL for every SQL-expressible queries() entry.
+
+Rules that keep the driver's comparison (row-count + schema +
+order-insensitive value hash) honest:
+- every computed column carries the SAME alias as the Spark plan;
+- DuckDB round() returns DECIMAL → always ::DOUBLE;
+- DuckDB sum(int) returns HUGEINT → always ::BIGINT;
+- double aggregates rounded to 6 (money) or 9 (scores/ratios) on BOTH
+  sides before comparison.
+"""
+
+from __future__ import annotations
+
+from terrier_spark.functions.text_stats import LANG_MARKERS, STOPWORDS
+from terrier_spark.plans.textqueries import BM25_QUERY
+
+_TOK = "[^a-z0-9_]+"  # pinned tokenizer pattern (oracle.py / tokenize.py)
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def _bm25_terms() -> str:
+    return _sql_list(sorted(set(BM25_QUERY.lower().split())))
+
+
+ORACLES: dict[str, str] = {}
+
+# ------------------------------------------------------------ relational
+
+ORACLES["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice), 6)::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6)::DOUBLE AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)::DOUBLE AS sum_charge,
+       round(avg(l_quantity), 6)::DOUBLE AS avg_qty,
+       round(avg(l_extendedprice), 6)::DOUBLE AS avg_price,
+       round(avg(l_discount), 6)::DOUBLE AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 6)::DOUBLE AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-06-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+ORACLES["q5_local_supplier"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6)::DOUBLE AS revenue
+FROM region
+JOIN nation   ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders   ON c_custkey   = o_custkey
+JOIN lineitem ON o_orderkey  = l_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey AND s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+ORACLES["q6_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 6)::DOUBLE AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["q_topk_orders"] = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+ORACLES["q_limit_offset"] = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 20 OFFSET 100
+"""
+
+ORACLES["q_distinct"] = """
+SELECT DISTINCT o_orderstatus, o_orderpriority
+FROM orders
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+ORACLES["q_semi_join"] = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > 100000
+)
+ORDER BY c_custkey
+"""
+
+ORACLES["q_anti_join"] = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+ORDER BY c_custkey
+"""
+
+ORACLES["q_outer_join"] = """
+SELECT c_custkey,
+       count(o_orderkey) AS n_orders,
+       coalesce(round(sum(o_totalprice), 6)::DOUBLE, 0.0) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+ORACLES["q_having"] = """
+SELECT l_suppkey,
+       count(*) AS n_items,
+       round(sum(l_quantity), 6)::DOUBLE AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+HAVING count(*) > 400
+ORDER BY l_suppkey
+"""
+
+ORACLES["q_window_rank"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+ORACLES["q_sessionize"] = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch(ts)::BIGINT
+                     - lag(epoch(ts)::BIGINT) OVER w IS NULL
+                  OR epoch(ts)::BIGINT
+                     - lag(epoch(ts)::BIGINT) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+    ) AS session_no
+    FROM flagged
+)
+SELECT user_id, session_no::BIGINT AS session_no,
+       count(*) AS n_events,
+       round(sum(value), 6)::DOUBLE AS session_value
+FROM sessions
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+ORACLES["q_setops"] = """
+SELECT nationkey, 'union' AS op FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'intersect' AS op FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'except' AS op FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+)
+ORDER BY op, nationkey
+"""
+
+ORACLES["q_case_string"] = """
+SELECT p_partkey,
+       upper(substring(p_name, 1, 8)) AS name_prefix,
+       lpad(p_brand, 12, '#') AS brand_padded,
+       length(p_type) AS type_len,
+       CASE WHEN p_type LIKE '%BRASS%' THEN 'brass'
+            WHEN p_size > 30 THEN 'large'
+            ELSE 'other' END AS category,
+       p_brand || '-' || p_size::VARCHAR AS brand_size
+FROM part
+ORDER BY p_partkey
+"""
+
+ORACLES["q_date_extract"] = """
+SELECT year(o_orderdate)::BIGINT AS yr,
+       quarter(o_orderdate)::BIGINT AS qtr,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY yr, qtr
+"""
+
+ORACLES["q_rollup"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 6)::DOUBLE AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+ORACLES["q_in_subquery"] = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+ORDER BY o_orderkey
+"""
+
+ORACLES["q_scalar_subquery"] = """
+SELECT o_orderkey, round(o_totalprice, 6)::DOUBLE AS o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+ORDER BY o_orderkey
+"""
+
+ORACLES["q_events_tumbling"] = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6)::DOUBLE AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+# ------------------------------------------------------------- IR / text
+
+ORACLES["ir_term_stats"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '{_TOK}'),
+                              x -> x <> '')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+)
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term ORDER BY term
+"""
+
+ORACLES["ir_collection_stats"] = f"""
+WITH dl AS (
+    SELECT len(list_filter(string_split_regex(lower(text), '{_TOK}'),
+                           x -> x <> '')) AS dl
+    FROM documents
+)
+SELECT count(*) AS num_docs,
+       sum(dl)::BIGINT AS num_tokens,
+       round(sum(dl)::DOUBLE / count(*), 6)::DOUBLE AS avgdl
+FROM dl
+"""
+
+
+def _bm25_sql() -> str:
+    terms = _bm25_terms()
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '{_TOK}'),
+                              x -> x <> '')) AS tok
+    FROM documents
+), dl AS (
+    SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), cs AS (
+    SELECT (SELECT count(*) FROM documents) AS n,
+           (SELECT sum(dl)::DOUBLE FROM dl)
+               / (SELECT count(*) FROM documents) AS avgdl
+), tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ({terms})
+    GROUP BY doc_id, tok
+), dft AS (
+    SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), sc AS (
+    SELECT tf.doc_id,
+           sum( ln((cs.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cs.avgdl)) ) AS s
+    FROM tf
+    JOIN dft USING (tok)
+    JOIN dl  USING (doc_id)
+    CROSS JOIN cs
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 9)::DOUBLE AS score
+FROM sc
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+ORACLES["ir_bm25_topk"] = _bm25_sql()
+
+ORACLES["text_token_counts"] = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> ''))::BIGINT AS n_ws_tokens,
+       len(list_filter(string_split_regex(lower(text), '{_TOK}'),
+                       x -> x <> ''))::BIGINT AS n_code_tokens
+FROM documents ORDER BY doc_id
+"""
+
+ORACLES["text_quality"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks,
+           length(text)
+             - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+    FROM documents
+), feat AS (
+    SELECT doc_id,
+           n_chars,
+           len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN n_chars::DOUBLE / len(toks) ELSE 0.0 END AS avg_token_len_raw,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, x -> x IN ({_sql_list(STOPWORDS)})))::DOUBLE
+                     / len(toks)
+                ELSE 0.0 END AS stop_raw,
+           CASE WHEN n_chars > 0
+                THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_raw
+    FROM base
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       n_tokens::BIGINT AS n_tokens,
+       round(avg_token_len_raw, 9)::DOUBLE AS avg_token_len,
+       round(stop_raw, 9)::DOUBLE AS stopword_ratio,
+       round(punct_raw, 9)::DOUBLE AS punct_ratio,
+       round( least(n_tokens / 100.0, 1.0) * 0.4
+            + least(stop_raw * 4.0, 1.0) * 0.3
+            + (1.0 - least(punct_raw * 5.0, 1.0)) * 0.3, 9)::DOUBLE AS quality_score
+FROM feat ORDER BY doc_id
+"""
+
+
+def _langid_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    counts = ",\n           ".join(
+        f"len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS[lg])}))) AS c_{lg}"
+        for lg in langs
+    )
+    # first-alphabetical wins ties: each branch uses >= against later langs
+    branches = []
+    for i, lg in enumerate(langs):
+        conds = [f"c_{lg} >= c_{other}" for other in langs[i + 1:]]
+        branches.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lg}'" if conds else f"ELSE '{lg}'"
+        )
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+), counted AS (
+    SELECT doc_id,
+           {counts}
+    FROM base
+)
+SELECT doc_id, {case} AS lang_guess
+FROM counted ORDER BY doc_id
+"""
+
+
+ORACLES["text_langid"] = _langid_sql()
+
+ORACLES["dedup_exact_docs"] = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS survivor_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+ORDER BY fp
+"""
+
+ORACLES["dedup_ngram_pairs"] = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS l
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(l) >= 2
+                THEN list_distinct([l[i] || ' ' || l[i+1] for i in range(1, len(l))])
+                ELSE [] END AS s
+    FROM toks
+), ex AS (
+    SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh
+), pairs AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           a.n_sh AS n1, b.n_sh AS n2,
+           count(*) AS inter
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id1, id2,
+       round(inter::DOUBLE / (n1 + n2 - inter), 9)::DOUBLE AS jaccard
+FROM pairs
+WHERE round(inter::DOUBLE / (n1 + n2 - inter), 9) >= 0.12
+ORDER BY id1, id2
+"""
+
+ORACLES["emb_cosine_topk"] = """
+SELECT vec_id,
+       round(list_cosine_similarity(
+           CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+       ), 9)::DOUBLE AS cos
+FROM embeddings
+ORDER BY cos DESC, vec_id
+LIMIT 25
+"""
+
+ORACLES["emb_knn_per_label"] = """
+WITH scored AS (
+    SELECT label, vec_id,
+           round(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+           ), 9)::DOUBLE AS cos
+    FROM embeddings
+), ranked AS (
+    SELECT label, vec_id, cos,
+           row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rnk
+    FROM scored
+)
+SELECT label, vec_id, cos, rnk FROM ranked WHERE rnk <= 3
+ORDER BY label, rnk
+"""
+
+ORACLES["mm_byte_stats"] = """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents ORDER BY doc_id
+"""

@@ -1,0 +1,185 @@
+"""IR + training-data-pipeline queries over the documents/embeddings
+tables (driver brief: dedup, similarity search, text analysis — each a
+queries() entry with an oracle on the documents table).
+
+Every function takes (spark, sf_dir) → DataFrame; aliases match
+plans/oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from terrier_spark.functions.text_stats import (
+    fingerprint, lang_id, quality_features, token_count,
+)
+from terrier_spark.functions.tokenize import explode_terms, tokens
+from terrier_spark.operators import dedup, similarity
+from terrier_spark.operators.index_build import build_index
+from terrier_spark.operators.score import bm25_topk_exploded
+from terrier_spark.sources.tables import load_table
+
+BM25_QUERY = "fast merge sort join"
+KNN_QUERY_VEC_ID = 0
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def ir_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term document frequency + collection frequency (exact ints —
+    the reference's ANALYZE statistics, §2.9)."""
+    d = _docs(spark, sf_dir)
+    pairs = explode_terms(d, text_col="text", id_col="doc_id")
+    tf = pairs.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .orderBy("term")
+    )
+
+
+def ir_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """num_docs, num_tokens, avgdl (collection row of FIXTURES.md §4)."""
+    d = _docs(spark, sf_dir)
+    dl = d.select(F.size(tokens("text")).alias("dl"))
+    return dl.agg(
+        F.count("*").alias("num_docs"),
+        F.sum("dl").alias("num_tokens"),
+        F.bround(F.sum("dl") / F.count("*"), 6).alias("avgdl"),
+    )
+
+
+def ir_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: end-to-end index build + BM25 top-10 on documents."""
+    d = _docs(spark, sf_dir)
+    idx = build_index(d, id_col="doc_id", text_col="text")
+    out = bm25_topk_exploded(idx, BM25_QUERY, 10)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "score")
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_code_tokens"),
+    ).orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    q = quality_features(d, "text")
+    return q.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.bround("avg_token_len", 9).alias("avg_token_len"),
+        F.bround("stopword_ratio", 9).alias("stopword_ratio"),
+        F.bround("punct_ratio", 9).alias("punct_ratio"),
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", lang_id("text").alias("lang_guess")).orderBy("doc_id")
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return dedup.dedup_exact(d, "doc_id", "text").orderBy("fp")
+
+
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (inverted-index join)."""
+    d = _docs(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(d, threshold=0.12, n=2).orderBy("id1", "id2")
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard (no SQL oracle
+    — xxhash64 signatures aren't reproducible in DuckDB; tests instead
+    assert consistency with the exact path)."""
+    d = _docs(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        d, threshold=0.12, num_perm=64, bands=32, n=2
+    ).orderBy("id1", "id2")
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤12 pairs (rows-only check)."""
+    d = _docs(spark, sf_dir)
+    return dedup.simhash_pairs(d, max_hamming=3).orderBy("id1", "id2")
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact ANN baseline: top-25 by cosine to a fixed query
+    vector (the embedding of vec_id 0)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == KNN_QUERY_VEC_ID).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(e, list(qvec), k=25)
+
+
+def emb_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise top-3 nearest to the query vector per label (window)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == KNN_QUERY_VEC_ID).select("embedding").collect()[0][0]
+    import numpy as np
+
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cos = F.bround(
+        similarity._dot(vec_d, qcol) / (similarity._norm(vec_d) * F.lit(qn)), 9
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        e.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("label", "vec_id", "cos", "rnk")
+        .orderBy("label", "rnk")
+    )
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (approximate — rows-only check; pytest asserts recall vs
+    the brute-force path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == KNN_QUERY_VEC_ID).select("embedding").collect()[0][0]
+    cents = similarity.train_centroids(e, n_centroids=8, sample=512)
+    assigned = similarity.ivf_assign(e, cents)
+    return similarity.ivf_topk(assigned, cents, list(qvec), k=25, nprobe=3)
+
+
+def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata."""
+    from terrier_spark.functions import multimodal
+
+    d = _docs(spark, sf_dir)
+    m = multimodal.to_media_df(d, "doc_id", "text")
+    return m.select(
+        "doc_id", "media_type", F.col("n_bytes").cast("long").alias("n_bytes")
+    ).orderBy("doc_id")
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over binary payloads (stubbed
+    decoder — rows-only check; pytest asserts the vector contract)."""
+    from terrier_spark.functions import multimodal
+
+    d = _docs(spark, sf_dir)
+    m = multimodal.to_media_df(d, "doc_id", "text")
+    return multimodal.extract_features(m).orderBy("doc_id")
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH + exact verify
+    (rows-only; pytest cross-checks against brute force)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(e, threshold=0.4).orderBy("id1", "id2")
