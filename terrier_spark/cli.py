@@ -1,0 +1,163 @@
+"""spark-submit entry points (north rule: "run via spark-submit
+--py-files on a multi-executor cluster at two cluster sizes").
+
+Usage (plain python or spark-submit — under spark-submit set
+SPARK_GRAFT_MASTER or pass --master and the session respects it):
+
+  # build (resumable) and write an index
+  spark-submit --py-files terrier_spark.zip -m terrier_spark.cli ...
+  python -m terrier_spark.cli build-index --n-docs 20000 --out /tmp/idx
+  python -m terrier_spark.cli query --index /tmp/idx --query "int return" -k 10
+  python -m terrier_spark.cli bench --n-docs 20000 --cores 8,32
+
+`bench` runs the identical build at each parallelism level in a FRESH
+JVM (subprocess) and reports docs/sec per level plus scaling
+efficiency = (T_high/T_low)/(c_high/c_low) — the sandbox stand-in for
+N vs 4N executors (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _corpus(spark, n_docs: int):
+    from pyspark.sql import functions as F
+
+    from terrier_spark.corpus import corpus_df
+
+    return corpus_df(spark, n_docs).withColumn(
+        "doc_id", F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256)
+    )
+
+
+def cmd_build_index(args) -> None:
+    from terrier_spark.session import get_spark
+    from terrier_spark.operators.index_build import build_index, write_index
+
+    spark = get_spark(app_name="terrier_spark_build", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _corpus(spark, args.n_docs).persist()
+    n = docs.count()  # corpus generation excluded from build timing
+    t0 = time.monotonic()
+    idx = build_index(docs, id_col="doc_id", text_col="content")
+    if args.out:
+        write_index(idx, args.out)
+    else:
+        idx.lexicon.count()
+        idx.blocks.count()
+    dt = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "op": "build-index",
+                "n_docs": n,
+                "cores": args.cores,
+                "seconds": round(dt, 3),
+                "docs_per_sec": round(n / dt, 1),
+                "num_tokens": idx.num_tokens,
+                "avgdl": round(idx.avgdl, 6),
+                "out": args.out,
+            }
+        )
+    )
+    spark.stop()
+
+
+def cmd_query(args) -> None:
+    from terrier_spark.session import get_spark
+    from terrier_spark.operators.index_build import load_index
+    from terrier_spark.operators.score import bm25_topk_blocks
+
+    spark = get_spark(app_name="terrier_spark_query", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = load_index(spark, args.index)
+    t0 = time.monotonic()
+    rows = bm25_topk_blocks(idx, args.query, args.k).collect()
+    dt = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "op": "query",
+                "query": args.query,
+                "k": args.k,
+                "seconds": round(dt, 3),
+                "results": [
+                    {"doc_id": r["doc_id"], "docno": r["docno"], "score": r["score"]}
+                    for r in rows
+                ],
+            }
+        )
+    )
+    spark.stop()
+
+
+def cmd_bench(args) -> None:
+    """Same input, two parallelism levels, fresh JVM each → scaling."""
+    levels = [int(c) for c in args.cores.split(",")]
+    results = []
+    for c in levels:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(c)
+        p = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "terrier_spark.cli",
+                "build-index",
+                "--n-docs",
+                str(args.n_docs),
+                "--cores",
+                str(c),
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+        print(f"# cores={c}: {line}", file=sys.stderr)
+    out = {"op": "bench-scaling", "n_docs": args.n_docs, "levels": results}
+    if len(results) >= 2:
+        lo, hi = results[0], results[-1]
+        speedup = lo["seconds"] / hi["seconds"]
+        ratio = hi["cores"] / lo["cores"]
+        out["speedup"] = round(speedup, 3)
+        out["scaling_efficiency"] = round(speedup / ratio, 3)
+    print(json.dumps(out))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="terrier_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index")
+    b.add_argument("--n-docs", type=int, default=20000)
+    b.add_argument("--out", default=None)
+    b.add_argument("--cores", type=int, default=None)
+    b.set_defaults(fn=cmd_build_index)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--cores", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("bench")
+    s.add_argument("--n-docs", type=int, default=20000)
+    s.add_argument("--cores", default="8,32")
+    s.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

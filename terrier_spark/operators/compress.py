@@ -20,11 +20,16 @@ import numpy as np
 _MAX_VBYTE_LEN = 10  # 64 bits / 7
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array; returns the byte stream."""
+def vbyte_encode_raw(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a uint64 array → (uint8 byte stream, per-value byte length).
+
+    The per-value lengths let callers slice the stream at any value
+    boundary (used to cut one big encoded run into per-block blobs
+    without re-encoding — one numpy pass for an entire Arrow batch).
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     # Byte length of each value: 1 + number of 7-bit shifts still nonzero.
     nbytes = np.ones(v.size, dtype=np.int64)
     shifted = v >> np.uint64(7)
@@ -44,6 +49,12 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         is_last = (nbytes[mask] - 1) == k
         out[pos] = byte | np.where(is_last, np.uint8(0x80), np.uint8(0))
         work[mask] >>= np.uint64(7)
+    return out, nbytes
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array; returns the byte stream."""
+    out, _ = vbyte_encode_raw(values)
     return out.tobytes()
 
 

@@ -109,15 +109,6 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------ minhash LSH
 
-def minhash_signature(col: Column | str, num_perm: int = 64, n: int = 3) -> Column:
-    """array<long> MinHash signature — sig[j] = min over shingles of
-    xxhash64(shingle, j).  Entirely JVM built-ins."""
-    sh = shingles(col, n)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j)))) for j in range(num_perm)]
-    )
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -139,17 +130,20 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shingles(text_col, n).alias("sh"),
-    ).withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(j))))
-                for j in range(num_perm)
-            ]
-        ),
-    ).persist()
+    ).filter(F.size("sh") > 0).persist()
 
-    band_rows = base.select(
+    # Signature via explode + groupBy: each exploded (doc, shingle) row
+    # computes all num_perm hashes in one codegen'd projection and the
+    # partial-aggregating min collapses them map-side.  (A transform()
+    # lambda per permutation over the shingle array re-walks the array
+    # num_perm times through interpreted HigherOrderFunctions — orders of
+    # magnitude slower and not partially aggregated.)
+    ex = base.select("doc_id", F.explode("sh").alias("shingle"))
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}") for j in range(num_perm)]
+    )
+
+    band_rows = sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -158,7 +152,7 @@ def minhash_lsh_pairs(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
                             F.concat_ws(
-                                ",", *[F.col("sig")[bi * rows_per + r].cast("string") for r in range(rows_per)]
+                                ",", *[F.col(f"h{bi * rows_per + r}").cast("string") for r in range(rows_per)]
                             )
                         ).alias("bhash"),
                     )

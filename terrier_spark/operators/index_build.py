@@ -39,8 +39,8 @@ from pyspark.sql.types import (
     BinaryType, LongType, StringType, StructField, StructType,
 )
 
-from terrier_spark.functions.tokenize import explode_terms, tokens
-from terrier_spark.operators.compress import vbyte_encode, delta_encode
+from terrier_spark.functions.tokenize import tokenize_postings
+from terrier_spark.operators.compress import vbyte_encode_raw
 
 BLOCK_DOCS = 128  # block-max granularity (docs per compressed block)
 
@@ -65,8 +65,8 @@ BLOCK_SCHEMA = StructType(
 class InvertedIndex:
     """Handles to the index tables (each a DataFrame; persist/write as needed)."""
 
-    docmap: DataFrame      # doc_id, docno, doclen
-    postings: DataFrame    # term, docno, tf  (uncompressed, exploded)
+    docmap: DataFrame             # doc_id, docno, doclen
+    postings: DataFrame | None    # term, docno, tf, dl (uncompressed; None for loaded indexes)
     lexicon: DataFrame     # term, df, cf
     blocks: DataFrame      # BLOCK_SCHEMA (compressed, block-max)
     num_docs: int
@@ -75,50 +75,42 @@ class InvertedIndex:
     bucket_span: int
 
 
-def assign_docnos(tokenized: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """doc_id → dense docno ordered by doc_id, plus doclen.
+def assign_docnos(doclens: DataFrame) -> DataFrame:
+    """(doc_id, doclen) → dense docno ordered by doc_id.
 
     Scale note: a global row_number() over one window would single-task;
     instead we repartitionByRange on doc_id (sampled range boundaries),
-    sort within partitions, and add per-partition offsets computed from
-    partition counts — the standard scalable dense-rank.  Input column
-    ``tokens`` must exist; output: (doc_id, docno, doclen).
+    number rows per range partition with a partition-local window, and
+    add per-partition offsets computed from partition counts — the
+    standard scalable dense-rank.  Entirely JVM-side (no Python workers):
+    the per-partition ordinal is ``row_number() OVER (PARTITION BY
+    spark_partition_id() ORDER BY doc_id)``, which shuffles only the tiny
+    (doc_id, doclen) projection.  Output: (doc_id, docno, doclen).
     """
-    base = tokenized.select(
-        F.col(id_col).alias("doc_id"), F.size("tokens").alias("doclen")
-    )
+    from pyspark.sql.window import Window
+
+    base = doclens.select("doc_id", "doclen")
     parts = max(base.sparkSession.sparkContext.defaultParallelism, 8)
-    ranged = base.repartitionByRange(parts, "doc_id").sortWithinPartitions("doc_id")
-
-    out_schema = StructType(
-        list(ranged.schema.fields)
-        + [StructField("pidx", LongType(), False), StructField("pord", LongType(), False)]
+    # Persist so the partition ids seen by the count pass and the final
+    # plan are identical (range boundaries are sampled once).
+    ranged = (
+        base.repartitionByRange(parts, "doc_id")
+        .withColumn("pidx", F.spark_partition_id())
+        .persist()
     )
-
-    def tag(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for b in it:
-            b = b.copy()
-            b["pidx"] = pid
-            b["pord"] = np.arange(seen, seen + len(b), dtype=np.int64)
-            seen += len(b)
-            yield b
-
-    tagged = ranged.mapInPandas(tag, out_schema)
-    counts = tagged.groupBy("pidx").agg(F.count("*").alias("cnt")).collect()
-    offsets = {}
+    counts = ranged.groupBy("pidx").agg(F.count("*").alias("cnt")).collect()
+    offsets: dict[int, int] = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r["pidx"]):
         offsets[row["pidx"]] = acc
         acc += row["cnt"]
-    off_df = tagged.sparkSession.createDataFrame(
-        [(int(k), int(v)) for k, v in offsets.items()], "pidx long, offset long"
+    off_df = ranged.sparkSession.createDataFrame(
+        [(int(k), int(v)) for k, v in offsets.items()], "pidx int, offset long"
     )
+    w = Window.partitionBy("pidx").orderBy("doc_id")
     return (
-        tagged.join(F.broadcast(off_df), "pidx")
+        ranged.withColumn("pord", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "pidx")
         .select(
             "doc_id",
             (F.col("pord") + F.col("offset")).alias("docno"),
@@ -127,13 +119,17 @@ def assign_docnos(tokenized: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def postings_df(tokenized: DataFrame, docmap: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(term, docno, tf, dl) — groupBy does map-side partial aggregation."""
-    pairs = tokenized.select(
-        F.col(id_col).alias("doc_id"), F.explode("tokens").alias("term")
+def postings_df(kernel_out: DataFrame, docmap: DataFrame) -> DataFrame:
+    """(term, docno, tf, dl) from the mapInArrow kernel output.
+
+    The kernel already aggregated token occurrences to per-doc tf
+    map-side, so the only remaining data motion is ONE join keyed on
+    doc_id to pick up the dense docno — no explode, no per-occurrence
+    shuffle."""
+    posts = kernel_out.filter(F.col("term").isNotNull())
+    return posts.join(docmap.select("doc_id", "docno"), "doc_id").select(
+        "term", "docno", "tf", "dl"
     )
-    tf = pairs.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    return tf.join(docmap, "doc_id").select("term", "docno", "tf", F.col("doclen").alias("dl"))
 
 
 def lexicon_df(postings: DataFrame) -> DataFrame:
@@ -142,49 +138,129 @@ def lexicon_df(postings: DataFrame) -> DataFrame:
     )
 
 
-def _encode_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (term, bucket) group → bounded-size compressed blocks."""
-    term = pdf["term"].iloc[0]
-    bucket = int(pdf["bucket"].iloc[0])
-    order = np.argsort(pdf["docno"].to_numpy(), kind="stable")
-    docnos = pdf["docno"].to_numpy()[order].astype(np.int64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-    dls = pdf["dl"].to_numpy()[order].astype(np.int64)
-    rows = []
-    for k, start in enumerate(range(0, len(docnos), BLOCK_DOCS)):
-        d = docnos[start : start + BLOCK_DOCS]
-        t = tfs[start : start + BLOCK_DOCS]
-        l = dls[start : start + BLOCK_DOCS]
-        rows.append(
-            (
-                term,
-                bucket,
-                bucket * 1_000_000 + k,
-                int(d[0]),
-                int(d[-1]),
-                len(d),
-                int(t.max()),
-                int(l.min()),
-                vbyte_encode(delta_encode(d.astype(np.uint64))),
-                vbyte_encode(t.astype(np.uint64)),
-                vbyte_encode(l.astype(np.uint64)),
-            )
-        )
+# Upper bound on docs per bucket: bounds both the posting-group size any
+# one task must hold AND the candidate set a query task scores.  At 10^12
+# docs this yields ~4M buckets rather than 2x#cores giant ones.
+MAX_BUCKET_SPAN = 1 << 18
+
+
+def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Encode a chunk of postings (sorted by term, bucket, docno; groups
+    never split across chunks) into compressed block rows.
+
+    Fully vectorized: ONE VByte pass over the whole chunk per stream
+    (docno gaps / tf / dl), then per-block blobs are byte-slices of the
+    encoded run — no per-group re-encode, no per-posting Python.  The
+    only Python loop is the final per-block bytes slicing.
+    """
+    term = pdf["term"].to_numpy()
+    bucket = pdf["bucket"].to_numpy().astype(np.int64)
+    docno = pdf["docno"].to_numpy().astype(np.int64)
+    tf = pdf["tf"].to_numpy().astype(np.int64)
+    dl = pdf["dl"].to_numpy().astype(np.int64)
+    n = len(docno)
+
+    grp_change = np.empty(n, dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = (term[1:] != term[:-1]) | (bucket[1:] != bucket[:-1])
+    grp_start_idx = np.flatnonzero(grp_change)
+    grp_id = np.cumsum(grp_change) - 1
+    row_in_grp = np.arange(n, dtype=np.int64) - grp_start_idx[grp_id]
+
+    blk_start = grp_change | (row_in_grp % BLOCK_DOCS == 0)
+    blk_start_idx = np.flatnonzero(blk_start)
+    nb = len(blk_start_idx)
+    blk_end_idx = np.empty(nb, dtype=np.int64)
+    blk_end_idx[:-1] = blk_start_idx[1:] - 1
+    blk_end_idx[-1] = n - 1
+
+    # Delta-gaps reset at every block start (first value absolute).
+    gaps = docno.copy()
+    gaps[1:] -= docno[:-1]
+    gaps[blk_start_idx] = docno[blk_start_idx]
+
+    d_stream, d_len = vbyte_encode_raw(gaps.astype(np.uint64))
+    t_stream, t_len = vbyte_encode_raw(tf.astype(np.uint64))
+    l_stream, l_len = vbyte_encode_raw(dl.astype(np.uint64))
+    d_ends, t_ends, l_ends = np.cumsum(d_len), np.cumsum(t_len), np.cumsum(l_len)
+
+    first = docno[blk_start_idx]
+    last = docno[blk_end_idx]
+    n_docs_b = blk_end_idx - blk_start_idx + 1
+    max_tf = np.maximum.reduceat(tf, blk_start_idx)
+    min_dl = np.minimum.reduceat(dl, blk_start_idx)
+    k_in_grp = row_in_grp[blk_start_idx] // BLOCK_DOCS
+    bkt_b = bucket[blk_start_idx]
+    block_id = bkt_b * 1_000_000 + k_in_grp
+
+    db, tb, lb = d_stream.tobytes(), t_stream.tobytes(), l_stream.tobytes()
+    ds = d_ends[blk_start_idx] - d_len[blk_start_idx]
+    ts = t_ends[blk_start_idx] - t_len[blk_start_idx]
+    ls = l_ends[blk_start_idx] - l_len[blk_start_idx]
+    de, te, le = d_ends[blk_end_idx], t_ends[blk_end_idx], l_ends[blk_end_idx]
+    docno_blob = [db[ds[j]:de[j]] for j in range(nb)]
+    tf_blob = [tb[ts[j]:te[j]] for j in range(nb)]
+    dl_blob = [lb[ls[j]:le[j]] for j in range(nb)]
+
     return pd.DataFrame(
-        rows,
-        columns=[f.name for f in BLOCK_SCHEMA.fields],
+        {
+            "term": term[blk_start_idx],
+            "bucket": bkt_b,
+            "block_id": block_id,
+            "first_docno": first,
+            "last_docno": last,
+            "n_docs": n_docs_b,
+            "max_tf": max_tf,
+            "min_dl": min_dl,
+            "docno_blob": docno_blob,
+            "tf_blob": tf_blob,
+            "dl_blob": dl_blob,
+        }
     )
+
+
+def _encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: carry the trailing (possibly incomplete)
+    (term, bucket) group across Arrow batch boundaries so every group is
+    encoded exactly once.  Input is sorted within the partition."""
+    carry: pd.DataFrame | None = None
+    for b in batches:
+        if carry is not None and len(carry):
+            b = pd.concat([carry, b], ignore_index=True)
+        if not len(b):
+            continue
+        t = b["term"].to_numpy()
+        bk = b["bucket"].to_numpy()
+        change = np.flatnonzero((t[1:] != t[:-1]) | (bk[1:] != bk[:-1])) + 1
+        if len(change) == 0:
+            carry = b
+            continue
+        cut = int(change[-1])
+        carry = b.iloc[cut:].reset_index(drop=True)
+        yield _encode_chunk(b.iloc[:cut])
+    if carry is not None and len(carry):
+        yield _encode_chunk(carry)
 
 
 def blocks_df(postings: DataFrame, num_docs: int, target_buckets: int | None = None) -> tuple[DataFrame, int]:
-    """Compressed block table. bucket = docno // span (range salt)."""
+    """Compressed block table. bucket = docno // span (range salt).
+
+    Physical plan: shuffle on (term, bucket) — the same two-phase shape
+    as the reference's radix-partitioned aggregation — then a partition-
+    local sort and ONE vectorized encode pass per Arrow batch
+    (mapInPandas, not per-group applyInPandas: hot terms produce many
+    bounded groups and per-group Arrow round-trips dominate otherwise).
+    """
     if target_buckets is None:
         target_buckets = max(postings.sparkSession.sparkContext.defaultParallelism * 2, 16)
-    span = max(1, -(-num_docs // target_buckets))  # ceil
+    span = max(1, min(-(-num_docs // target_buckets), MAX_BUCKET_SPAN))  # ceil, capped
     with_bucket = postings.withColumn("bucket", (F.col("docno") / span).cast("long"))
-    out = with_bucket.groupBy("term", "bucket").applyInPandas(
-        lambda pdf: _encode_blocks(pdf), schema=BLOCK_SCHEMA
+    arranged = (
+        with_bucket.repartition("term", "bucket")
+        .sortWithinPartitions("term", "bucket", "docno")
+        .select("term", "bucket", "docno", "tf", "dl")
     )
+    out = arranged.mapInPandas(_encode_stream, schema=BLOCK_SCHEMA)
     return out, span
 
 
@@ -195,11 +271,18 @@ def build_index(
     target_buckets: int | None = None,
     cache: bool = True,
 ) -> InvertedIndex:
-    """End-to-end build. Input: any (id, text) DataFrame."""
-    tokenized = docs.select(F.col(id_col), tokens(text_col).alias("tokens"))
+    """End-to-end build. Input: any (id, text) DataFrame.
+
+    Physical plan: ONE Arrow pass tokenizes + pre-aggregates per-doc term
+    frequencies (tokenize_postings), then everything downstream shuffles
+    only per-(doc, term) rows — never per token occurrence."""
+    kernel_out = tokenize_postings(docs, id_col, text_col)
     if cache:
-        tokenized = tokenized.persist()
-    docmap = assign_docnos(tokenized, id_col)
+        kernel_out = kernel_out.persist()
+    doclens = kernel_out.filter(F.col("term").isNull()).select(
+        "doc_id", F.col("dl").alias("doclen")
+    )
+    docmap = assign_docnos(doclens)
     if cache:
         docmap = docmap.persist()
     cstats = docmap.agg(
@@ -209,7 +292,7 @@ def build_index(
     num_tokens = int(cstats["num_tokens"] or 0)
     avgdl = num_tokens / num_docs if num_docs else 0.0
 
-    post = postings_df(tokenized, docmap, id_col)
+    post = postings_df(kernel_out, docmap)
     if cache:
         post = post.persist()
     lex = lexicon_df(post)
@@ -233,6 +316,38 @@ def write_index(index: InvertedIndex, out_dir: str) -> None:
     co-located data; at cluster scale this would be an Iceberg table with
     bucket partitioning on term for pointed term lookups.
     """
+    import json
+    import os
+
     index.docmap.write.mode("overwrite").parquet(f"{out_dir}/docmap")
     index.lexicon.write.mode("overwrite").parquet(f"{out_dir}/lexicon")
     index.blocks.write.mode("overwrite").parquet(f"{out_dir}/blocks")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/stats.json", "w") as f:
+        json.dump(
+            {
+                "num_docs": index.num_docs,
+                "num_tokens": index.num_tokens,
+                "avgdl": index.avgdl,
+                "bucket_span": index.bucket_span,
+            },
+            f,
+        )
+
+
+def load_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
+    """Open a written index for querying (block path; postings not kept)."""
+    import json
+
+    with open(f"{out_dir}/stats.json") as f:
+        meta = json.load(f)
+    return InvertedIndex(
+        docmap=spark.read.parquet(f"{out_dir}/docmap"),
+        postings=None,
+        lexicon=spark.read.parquet(f"{out_dir}/lexicon"),
+        blocks=spark.read.parquet(f"{out_dir}/blocks"),
+        num_docs=meta["num_docs"],
+        num_tokens=meta["num_tokens"],
+        avgdl=meta["avgdl"],
+        bucket_span=meta["bucket_span"],
+    )

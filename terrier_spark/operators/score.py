@@ -98,11 +98,114 @@ def bm25_topk_exploded(
     )
 
 
+def _block_upper_bounds(
+    pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """Per-block score upper bound from (max_tf, min_dl) metadata only.
+
+    BM25's partial is increasing in tf and decreasing in dl, so
+    idf * (k1+1)*max_tf / (max_tf + k1*(1-b+b*min_dl/avgdl)) bounds every
+    posting in the block — the block-max metadata the reference keeps as
+    bloom-filter early-outs on its hash join
+    (/root/reference/src/include/execution/sql/join_hash_table.h:154)."""
+    idf_arr = pdf["term"].map(idfs).to_numpy(np.float64)
+    mtf = pdf["max_tf"].to_numpy(np.float64)
+    mdl = pdf["min_dl"].to_numpy(np.float64)
+    return idf_arr * mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl))
+
+
+def _bucket_topk(
+    blocks: DataFrame,
+    terms: list[str],
+    idf_map: dict[str, float],
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+    theta: float | None,
+) -> DataFrame:
+    """Bucket-local exact top-k with block-max pruning at threshold θ.
+
+    Soundness of the prune (see bm25_topk_blocks): a block is skipped
+    only when ub(block) + Σ_{other terms} max-bucket-ub < θ, which
+    bounds the TOTAL score of every doc in the block below θ; those docs
+    cannot be in the final top-k.  Emitted docs with score ≥ θ provably
+    have no mass in any pruned block, so their scores are exact.
+    """
+    spark = blocks.sparkSession
+    bidf = spark.sparkContext.broadcast(idf_map)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        idfs = bidf.value
+        empty = pd.DataFrame(
+            {"docno": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
+        )
+        if not len(pdf):
+            return empty
+        if theta is not None and len(idfs) > 1:
+            ub = _block_upper_bounds(pdf, idfs, avgdl, k1, b)
+            terms_np = pdf["term"].to_numpy()
+            # max ub per term within this bucket; bound(b) = ub(b) +
+            # Σ max-ub of the OTHER query terms in the bucket.
+            term_max = {t: float(ub[terms_np == t].max()) for t in np.unique(terms_np)}
+            total_other = {
+                t: sum(v for t2, v in term_max.items() if t2 != t) for t in term_max
+            }
+            bound = ub + np.array([total_other[t] for t in terms_np])
+            keep = bound >= theta - 1e-9
+            pdf = pdf[keep]
+            if not len(pdf):
+                return empty
+        dn_all: list[np.ndarray] = []
+        sc_all: list[np.ndarray] = []
+        for row in pdf.itertuples(index=False):  # per block, not per posting
+            docnos, tfs = decode_posting_list(bytes(row.docno_blob), bytes(row.tf_blob))
+            dls = vbyte_decode(bytes(row.dl_blob)).astype(np.float64)
+            tfsf = tfs.astype(np.float64)
+            partial = (
+                idfs[row.term] * tfsf * (k1 + 1.0)
+                / (tfsf + k1 * (1.0 - b + b * dls / avgdl))
+            )
+            dn_all.append(docnos.astype(np.int64))
+            sc_all.append(partial)
+        dn = np.concatenate(dn_all)
+        sc = np.concatenate(sc_all)
+        sums = pd.Series(sc).groupby(dn).sum()
+        out = pd.DataFrame(
+            {"docno": sums.index.to_numpy(np.int64), "score": np.round(sums.to_numpy(), 9)}
+        )
+        if theta is not None:
+            out = out[out["score"] >= theta - 1e-12]
+        return out.sort_values(["score", "docno"], ascending=[False, True]).head(k)
+
+    cand = blocks.filter(F.col("term").isin(terms))
+    return cand.groupBy("bucket").applyInPandas(
+        lambda pdf: score_bucket(pdf), schema=_TOPK_SCHEMA
+    )
+
+
 def bm25_topk_blocks(
     index: InvertedIndex, query: str, k: int = 10,
     k1: float = BM25_K1, b: float = BM25_B,
+    prune: bool = True,
 ) -> DataFrame:
-    """Top-k via the compressed block table (decode in Arrow kernels)."""
+    """Top-k via the compressed block table — block-max WAND as two Spark
+    passes (reference analog: top-k bounded heaps sorter.h:126-140 +
+    bloom early-out join_hash_table.h:154-190):
+
+    1. Threshold pass: exactly score ONLY the rarest (highest-idf) query
+       term's postings — parquet scans prune to that term via predicate
+       pushdown on the block table's `term` column.  The k-th best
+       single-term score is a certified lower bound θ on the final k-th
+       score (every such doc's total ≥ its single-term partial).
+    2. Exact pass: per doc-range bucket, skip whole blocks whose
+       metadata bound (ub + Σ other-term max-ub in bucket) < θ — no
+       decode, no scoring — then score survivors exactly and drop docs
+       below θ (provably not in top-k; guarantees emitted scores exact).
+
+    Buckets partition docs disjointly, so bucket-local top-ks contain
+    the global top-k, extracted by TakeOrderedAndProject.
+    """
     spark = index.blocks.sparkSession
     terms = _query_terms(query)
     if not terms:
@@ -118,44 +221,19 @@ def bm25_topk_blocks(
     if not idf_map:
         return spark.createDataFrame([], "doc_id string, docno long, score double")
     avgdl = index.avgdl
-    bidf = spark.sparkContext.broadcast(idf_map)
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Exact bucket-local scoring: decode every candidate block (the
-        # scan already pruned to query terms), one numpy pass per block,
-        # one vectorized groupby for the per-doc sums.  Block-max
-        # (max_tf, min_dl) metadata is stored for WAND; sound skipping
-        # requires doc-aligned traversal and is future work — exactness
-        # is the gate (rank-identical to the oracle).
-        idfs = bidf.value
-        dn_all: list[np.ndarray] = []
-        sc_all: list[np.ndarray] = []
-        for row in pdf.itertuples(index=False):  # per block, not per posting
-            docnos, tfs = decode_posting_list(bytes(row.docno_blob), bytes(row.tf_blob))
-            dls = vbyte_decode(bytes(row.dl_blob)).astype(np.float64)
-            tfsf = tfs.astype(np.float64)
-            partial = (
-                idfs[row.term] * tfsf * (k1 + 1.0)
-                / (tfsf + k1 * (1.0 - b + b * dls / avgdl))
-            )
-            dn_all.append(docnos.astype(np.int64))
-            sc_all.append(partial)
-        if not dn_all:
-            return pd.DataFrame(
-                {"docno": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
-            )
-        dn = np.concatenate(dn_all)
-        sc = np.concatenate(sc_all)
-        sums = pd.Series(sc).groupby(dn).sum()
-        out = pd.DataFrame(
-            {"docno": sums.index.to_numpy(np.int64), "score": np.round(sums.to_numpy(), 9)}
+    theta: float | None = None
+    live_terms = sorted(idf_map)
+    if prune and len(live_terms) > 1:
+        rarest = max(live_terms, key=lambda t: idf_map[t])
+        seed = _bucket_topk(
+            index.blocks, [rarest], {rarest: idf_map[rarest]}, avgdl, k, k1, b, None
         )
-        return out.sort_values(["score", "docno"], ascending=[False, True]).head(k)
+        seed_rows = seed.orderBy(F.desc("score")).limit(k).collect()
+        if len(seed_rows) == k:
+            theta = float(seed_rows[-1]["score"])
 
-    cand = index.blocks.filter(F.col("term").isin(terms))
-    local = cand.groupBy("bucket").applyInPandas(
-        lambda pdf: score_bucket(pdf), schema=_TOPK_SCHEMA
-    )
+    local = _bucket_topk(index.blocks, live_terms, idf_map, avgdl, k, k1, b, theta)
     top = local.orderBy(F.desc("score"), F.asc("docno")).limit(k)
     return (
         top.join(index.docmap.select("doc_id", "docno"), "docno")

@@ -39,9 +39,12 @@ def get_spark(
         # ~1 partition per core locally; on a cluster: 2-3x total cores.
         shuffle_partitions = max(cores, 8)
 
+    # Under spark-submit (cluster or client mode), --master wins; the
+    # local[] default only applies when launched as a plain python script.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -35,6 +35,16 @@ def test_blocks_rank_identical(spark_index, oracle_index, query):
     _check(bm25_topk_blocks(spark_index, query, 10).collect(), exp)
 
 
+@pytest.mark.parametrize("query", ["int return", "foo_bar the int for", "node_list_map key0 idx"])
+def test_wand_prune_matches_full_scan(spark_index, query):
+    """Block-max pruning must be invisible: same docs, same exact scores."""
+    pruned = bm25_topk_blocks(spark_index, query, 10, prune=True).collect()
+    full = bm25_topk_blocks(spark_index, query, 10, prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in pruned] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+
+
 def test_k_larger_than_corpus(spark_index, oracle_index):
     exp = oracle.bm25_topk(oracle_index, "int", 10_000)
     _check(bm25_topk_blocks(spark_index, "int", 10_000).collect(), exp)
