@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_term_stats": T.ir_term_stats,
         "ir_collection_stats": T.ir_collection_stats,
         "ir_bm25_topk": T.ir_bm25_topk,
+        "ir_bm25_topk_wand": T.ir_bm25_topk_wand,
+        "ir_bm25_topk_and": T.ir_bm25_topk_and,
         # text analysis
         "text_token_counts": T.text_token_counts,
         "text_quality": T.text_quality,

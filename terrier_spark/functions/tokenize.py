@@ -65,9 +65,64 @@ def py_tokenize_iter(texts: Iterator[str]) -> Iterator[list[str]]:
 
 # ------------------------------------------------------ Arrow hot path
 
+# Cache-resident slice size: a 10k-doc batch's flat token arrays run to
+# hundreds of MB and go DRAM-bandwidth-bound (measured 5x slower per doc
+# than 2k-doc slices, and concurrency then scales badly because all
+# cores share one memory bus).  2k docs ≈ 2M tokens ≈ 30 MB working set
+# — mostly LLC-resident.
+ARROW_SLICE_DOCS = 2048
 
 
-def tokenize_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+def tokenize_count_slice(content):
+    """Tokenize + per-doc term-frequency aggregation for ONE content
+    array slice (the shared Arrow hot-path core):
+
+      utf8_lower → split_pattern_regex (RE2) → list_flatten
+      → dictionary_encode (term → int32 code, no Python strings)
+      → Arrow hash group_by on (doc index, code) → tf
+
+    Returns (u_doc, u_code, tf, dl, vocab): one entry per distinct
+    (doc, term) pair (u_doc indexes into the slice), per-doc token
+    counts dl (len == slice size), and the term dictionary.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(content)
+    content = pc.coalesce(content, pa.scalar("", pa.string()))
+    toks = pc.split_pattern_regex(pc.utf8_lower(content), TOKEN_PATTERN)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    # doc index of every flat token, before filtering empties
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    doc_idx = doc_idx[keep]
+    codes = codes[keep]
+    dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    # per-(doc, term) tf via Arrow's single-pass C++ hash aggregation
+    # (measured 3x faster than the sort inside np.unique)
+    agg = (
+        pa.table({"d": doc_idx, "c": codes})
+        .group_by(["d", "c"], use_threads=False)
+        .aggregate([([], "count_all")])
+    )
+    u_doc = agg.column("d").to_numpy(zero_copy_only=False)
+    u_code = agg.column("c").to_numpy(zero_copy_only=False)
+    tf = agg.column("count_all").to_numpy(zero_copy_only=False)
+    return u_doc, u_code, tf, dl, vocab
+
+
+def tokenize_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    docno_ids_bc=None,
+) -> DataFrame:
     """(doc_id, term, tf, dl) pre-aggregated per document, via mapInArrow.
 
     This is the index build's hot path.  Spark's JVM ``split()`` walks
@@ -88,7 +143,76 @@ def tokenize_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "co
     Every document additionally emits one (doc_id, term=NULL, tf=0, dl)
     row so zero-token docs survive into the docmap; callers split on
     ``term IS NULL``.
+
+    ``docno_ids_bc`` (optional): a Spark broadcast of the SORTED doc_id
+    array (numpy 'S' bytes).  When given, the kernel resolves each doc's
+    dense docno AS ITS RANK via np.searchsorted and the output schema
+    becomes (docno long, term, tf, dl) — eliminating the downstream
+    JVM docmap join and keeping 64-byte id strings out of the posting
+    shuffle entirely.  Only valid when the full sorted id array fits in
+    a broadcast (caller gates on corpus size; the join path remains the
+    10^12-doc fallback).
     """
+    import pyarrow as pa
+
+    SLICE = ARROW_SLICE_DOCS
+
+    def _ids_to_docnos(doc_ids: pa.Array) -> np.ndarray:
+        sorted_ids = docno_ids_bc.value
+        batch = np.asarray(doc_ids.to_pylist(), dtype=sorted_ids.dtype)
+        return np.searchsorted(sorted_ids, batch)
+
+    def _emit(doc_ids: pa.Array, content: pa.Array) -> pa.RecordBatch:
+        n = len(content)
+        u_doc, u_code, tf, dl, vocab = tokenize_count_slice(content)
+        if docno_ids_bc is not None:
+            docnos = _ids_to_docnos(doc_ids)
+            out_id = pa.array(np.concatenate([docnos[u_doc], docnos]))
+            id_name = "docno"
+        else:
+            out_id = pa.concat_arrays([doc_ids.take(pa.array(u_doc)), doc_ids])
+            id_name = "doc_id"
+        out_term = pa.concat_arrays(
+            [
+                vocab.take(pa.array(u_code)).cast(pa.string()),
+                pa.nulls(n, pa.string()),
+            ]
+        )
+        out_tf = pa.array(
+            np.concatenate([tf.astype(np.int64), np.zeros(n, np.int64)])
+        )
+        out_dl = pa.array(np.concatenate([dl[u_doc], dl]))
+        return pa.RecordBatch.from_arrays(
+            [out_id, out_term, out_tf, out_dl],
+            names=[id_name, "term", "tf", "dl"],
+        )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        i_id = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if i_id is None:
+                i_id = rb.schema.get_field_index(id_col)
+                i_tx = rb.schema.get_field_index(text_col)
+            for s in range(0, rb.num_rows, SLICE):
+                sl = rb.slice(s, SLICE)
+                yield _emit(sl.column(i_id), sl.column(i_tx))
+
+    if docno_ids_bc is not None:
+        out_schema = "docno long, term string, tf long, dl long"
+    else:
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = f"doc_id {id_type}, term string, tf long, dl long"
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col)
+    ).mapInArrow(kernel, out_schema)
+
+
+def doc_lengths(df: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+    """(doc_id, doclen) via a minimal Arrow pass (split + count only — no
+    dictionary encode, no per-term rows).  Used to build the docmap
+    without materializing the full postings kernel twice."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -104,39 +228,13 @@ def tokenize_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "co
             lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
             flat = pc.list_flatten(toks)
             keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-            # doc index of every flat token, before filtering empties
             doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
-            enc = pc.dictionary_encode(flat)
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            vocab = enc.dictionary
-            doc_idx = doc_idx[keep]
-            codes = codes[keep]
-            dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
-            packed = (doc_idx << np.int64(32)) | codes
-            uniq, tf = np.unique(packed, return_counts=True)
-            u_doc = (uniq >> np.int64(32)).astype(np.int64)
-            u_code = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
-            out_doc_id = pa.concat_arrays(
-                [doc_ids.take(pa.array(u_doc)), doc_ids]
-            )
-            out_term = pa.concat_arrays(
-                [
-                    vocab.take(pa.array(u_code)).cast(pa.string()),
-                    pa.nulls(n, pa.string()),
-                ]
-            )
-            out_tf = pa.array(
-                np.concatenate([tf.astype(np.int64), np.zeros(n, np.int64)])
-            )
-            out_dl = pa.array(np.concatenate([dl[u_doc], dl]))
+            dl = np.bincount(doc_idx[keep], minlength=n).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
-                [out_doc_id, out_term, out_tf, out_dl],
-                names=["doc_id", "term", "tf", "dl"],
+                [doc_ids, pa.array(dl)], names=["doc_id", "doclen"]
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(
-        F.col(id_col).alias(id_col), F.col(text_col)
-    ).mapInArrow(kernel, f"doc_id {id_type}, term string, tf long, dl long")
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInArrow(
+        kernel, f"doc_id {id_type}, doclen long"
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import terrier_spark
-from terrier_spark.functions.tokenize import tokens
+from terrier_spark.functions.tokenize import tokenize_postings
 
 
 @dataclass
@@ -111,14 +111,10 @@ def build_postings_checkpointed(
         try:
             if fail_on_shard == s:
                 raise RuntimeError(f"injected failure on shard {s}")
-            tokenized = shard_df.select(
-                F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
-            ).withColumn("dl", F.size("toks"))
-            postings = (
-                tokenized.select("doc_id", "dl", F.explode("toks").alias("term"))
-                .groupBy("doc_id", "dl", "term")
-                .agg(F.count("*").alias("tf"))
-                .select("term", "doc_id", "tf", "dl")
+            # Arrow kernel path (same hot path as build_index); rows with
+            # term IS NULL carry doclen for zero-token docs.
+            postings = tokenize_postings(shard_df, id_col, text_col).select(
+                "term", "doc_id", "tf", "dl"
             )
             postings.write.mode("overwrite").parquet(out_path)
             n_post = spark.read.parquet(out_path).count()

@@ -52,6 +52,7 @@ BLOCK_SCHEMA = StructType(
         StructField("first_docno", LongType(), False),
         StructField("last_docno", LongType(), False),
         StructField("n_docs", LongType(), False),
+        StructField("sum_tf", LongType(), False),
         StructField("max_tf", LongType(), False),
         StructField("min_dl", LongType(), False),
         StructField("docno_blob", BinaryType(), False),
@@ -65,8 +66,9 @@ BLOCK_SCHEMA = StructType(
 class InvertedIndex:
     """Handles to the index tables (each a DataFrame; persist/write as needed)."""
 
-    docmap: DataFrame             # doc_id, docno, doclen
+    docmap: DataFrame             # doc_id, docno
     postings: DataFrame | None    # term, docno, tf, dl (uncompressed; None for loaded indexes)
+    doclens: DataFrame | None     # doc_id, doclen (lazy — re-runs the kernel; None for loaded indexes)
     lexicon: DataFrame     # term, df, cf
     blocks: DataFrame      # BLOCK_SCHEMA (compressed, block-max)
     num_docs: int
@@ -75,21 +77,21 @@ class InvertedIndex:
     bucket_span: int
 
 
-def assign_docnos(doclens: DataFrame) -> DataFrame:
-    """(doc_id, doclen) → dense docno ordered by doc_id.
+def assign_docnos(ids: DataFrame) -> tuple[DataFrame, int]:
+    """doc_id → dense docno ordered by doc_id.  No tokenization, no
+    payload: the pass moves ONLY the id column (pruned straight from the
+    columnar cache / parquet scan), so it stays cheap at any corpus size.
 
     Scale note: a global row_number() over one window would single-task;
     instead we repartitionByRange on doc_id (sampled range boundaries),
     number rows per range partition with a partition-local window, and
     add per-partition offsets computed from partition counts — the
-    standard scalable dense-rank.  Entirely JVM-side (no Python workers):
-    the per-partition ordinal is ``row_number() OVER (PARTITION BY
-    spark_partition_id() ORDER BY doc_id)``, which shuffles only the tiny
-    (doc_id, doclen) projection.  Output: (doc_id, docno, doclen).
+    standard scalable dense-rank.  Entirely JVM-side (no Python workers).
+    Output: ((doc_id, docno), num_docs, ranged-cache-handle).
     """
     from pyspark.sql.window import Window
 
-    base = doclens.select("doc_id", "doclen")
+    base = ids.select("doc_id")
     parts = max(base.sparkSession.sparkContext.defaultParallelism, 8)
     # Persist so the partition ids seen by the count pass and the final
     # plan are identical (range boundaries are sampled once).
@@ -108,18 +110,35 @@ def assign_docnos(doclens: DataFrame) -> DataFrame:
         [(int(k), int(v)) for k, v in offsets.items()], "pidx int, offset long"
     )
     w = Window.partitionBy("pidx").orderBy("doc_id")
-    return (
+    docmap = (
         ranged.withColumn("pord", F.row_number().over(w) - 1)
         .join(F.broadcast(off_df), "pidx")
-        .select(
-            "doc_id",
-            (F.col("pord") + F.col("offset")).alias("docno"),
-            "doclen",
-        )
+        .select("doc_id", (F.col("pord") + F.col("offset")).alias("docno"))
     )
+    # NOTE (scale): at 10^12 docs one would NOT cache the ranged ids
+    # (terabytes) — instead write docmap itself out and read it back.
+    # Locally the cache is small; callers unpersist the returned handle
+    # once docmap has been materialized.
+    return docmap, acc, ranged
 
 
-def postings_df(kernel_out: DataFrame, docmap: DataFrame) -> DataFrame:
+# Broadcast the docmap into the postings join while it fits comfortably
+# in executor memory (~90 B/row → 10M docs ≈ 900 MB).  Above that, fall
+# back to a shuffle join on doc_id — the only correct choice at 10^12
+# docs.  Without the hint Spark flips to sort-merge at its 10 MB default
+# and sorts every posting row by a 64-char doc_id — measured 2x+ build
+# slowdown and inverse core-scaling from concurrent sort spills.
+BROADCAST_DOCMAP_MAX_DOCS = 10_000_000
+
+# Resolve docnos inside the tokenize kernel (sorted-id broadcast +
+# searchsorted) while the id array fits comfortably in executor memory
+# (~64 B/doc → 5M docs ≈ 320 MB).  Beyond that: JVM join fallback.
+KERNEL_DOCNO_MAX_DOCS = 5_000_000
+
+
+def postings_df(
+    kernel_out: DataFrame, docmap: DataFrame, num_docs: int | None = None
+) -> DataFrame:
     """(term, docno, tf, dl) from the mapInArrow kernel output.
 
     The kernel already aggregated token occurrences to per-doc tf
@@ -127,9 +146,10 @@ def postings_df(kernel_out: DataFrame, docmap: DataFrame) -> DataFrame:
     doc_id to pick up the dense docno — no explode, no per-occurrence
     shuffle."""
     posts = kernel_out.filter(F.col("term").isNotNull())
-    return posts.join(docmap.select("doc_id", "docno"), "doc_id").select(
-        "term", "docno", "tf", "dl"
-    )
+    dm = docmap.select("doc_id", "docno")
+    if num_docs is not None and num_docs <= BROADCAST_DOCMAP_MAX_DOCS:
+        dm = F.broadcast(dm)
+    return posts.join(dm, "doc_id").select("term", "docno", "tf", "dl")
 
 
 def lexicon_df(postings: DataFrame) -> DataFrame:
@@ -138,31 +158,35 @@ def lexicon_df(postings: DataFrame) -> DataFrame:
     )
 
 
+def lexicon_from_blocks(blocks: DataFrame) -> DataFrame:
+    """(term, df, cf) aggregated from block metadata — runs over the
+    compact compressed table (thousands of rows per term, not millions
+    of postings), so it's nearly free once blocks are built."""
+    return blocks.groupBy("term").agg(
+        F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
+    )
+
+
 # Upper bound on docs per bucket: bounds both the posting-group size any
 # one task must hold AND the candidate set a query task scores.  At 10^12
 # docs this yields ~4M buckets rather than 2x#cores giant ones.
 MAX_BUCKET_SPAN = 1 << 18
+DEFAULT_TARGET_BUCKETS = 64
 
 
-def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Encode a chunk of postings (sorted by term, bucket, docno; groups
-    never split across chunks) into compressed block rows.
+def _encode_sorted(term_dict, term_codes, bucket, docno, tf, dl, grp_change) -> "pa.RecordBatch":
+    """Vectorized block encoder over arrays already sorted by
+    (group, docno), with per-row group-start flags.
 
-    Fully vectorized: ONE VByte pass over the whole chunk per stream
-    (docno gaps / tf / dl), then per-block blobs are byte-slices of the
-    encoded run — no per-group re-encode, no per-posting Python.  The
-    only Python loop is the final per-block bytes slicing.
+    ONE VByte pass over the whole chunk per stream (docno gaps / tf /
+    dl), per-block blobs are byte-slices of the encoded run, and
+    per-block terms come from an Arrow take() at block starts — the
+    10M+ term strings of a chunk are never materialized as Python
+    objects.
     """
-    term = pdf["term"].to_numpy()
-    bucket = pdf["bucket"].to_numpy().astype(np.int64)
-    docno = pdf["docno"].to_numpy().astype(np.int64)
-    tf = pdf["tf"].to_numpy().astype(np.int64)
-    dl = pdf["dl"].to_numpy().astype(np.int64)
-    n = len(docno)
+    import pyarrow as pa
 
-    grp_change = np.empty(n, dtype=bool)
-    grp_change[0] = True
-    grp_change[1:] = (term[1:] != term[:-1]) | (bucket[1:] != bucket[:-1])
+    n = len(docno)
     grp_start_idx = np.flatnonzero(grp_change)
     grp_id = np.cumsum(grp_change) - 1
     row_in_grp = np.arange(n, dtype=np.int64) - grp_start_idx[grp_id]
@@ -175,7 +199,7 @@ def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
     blk_end_idx[-1] = n - 1
 
     # Delta-gaps reset at every block start (first value absolute).
-    gaps = docno.copy()
+    gaps = docno.astype(np.int64, copy=True)
     gaps[1:] -= docno[:-1]
     gaps[blk_start_idx] = docno[blk_start_idx]
 
@@ -187,6 +211,7 @@ def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
     first = docno[blk_start_idx]
     last = docno[blk_end_idx]
     n_docs_b = blk_end_idx - blk_start_idx + 1
+    sum_tf = np.add.reduceat(tf, blk_start_idx)
     max_tf = np.maximum.reduceat(tf, blk_start_idx)
     min_dl = np.minimum.reduceat(dl, blk_start_idx)
     k_in_grp = row_in_grp[blk_start_idx] // BLOCK_DOCS
@@ -202,66 +227,397 @@ def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
     tf_blob = [tb[ts[j]:te[j]] for j in range(nb)]
     dl_blob = [lb[ls[j]:le[j]] for j in range(nb)]
 
-    return pd.DataFrame(
-        {
-            "term": term[blk_start_idx],
-            "bucket": bkt_b,
-            "block_id": block_id,
-            "first_docno": first,
-            "last_docno": last,
-            "n_docs": n_docs_b,
-            "max_tf": max_tf,
-            "min_dl": min_dl,
-            "docno_blob": docno_blob,
-            "tf_blob": tf_blob,
-            "dl_blob": dl_blob,
-        }
+    # Only the block-start terms are ever materialized (one string per
+    # block, not one per posting row).
+    term_b = term_dict.take(pa.array(term_codes[blk_start_idx])).cast(pa.string())
+    if isinstance(term_b, pa.ChunkedArray):
+        term_b = term_b.combine_chunks()
+    return pa.RecordBatch.from_arrays(
+        [
+            term_b,
+            pa.array(bkt_b.astype(np.int64)),
+            pa.array(block_id.astype(np.int64)),
+            pa.array(first.astype(np.int64)),
+            pa.array(last.astype(np.int64)),
+            pa.array(n_docs_b.astype(np.int64)),
+            pa.array(sum_tf.astype(np.int64)),
+            pa.array(max_tf.astype(np.int64)),
+            pa.array(min_dl.astype(np.int64)),
+            pa.array(docno_blob, type=pa.binary()),
+            pa.array(tf_blob, type=pa.binary()),
+            pa.array(dl_blob, type=pa.binary()),
+        ],
+        names=[f.name for f in BLOCK_SCHEMA.fields],
     )
 
 
-def _encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: carry the trailing (possibly incomplete)
-    (term, bucket) group across Arrow batch boundaries so every group is
-    encoded exactly once.  Input is sorted within the partition."""
-    carry: pd.DataFrame | None = None
-    for b in batches:
-        if carry is not None and len(carry):
-            b = pd.concat([carry, b], ignore_index=True)
-        if not len(b):
-            continue
-        t = b["term"].to_numpy()
-        bk = b["bucket"].to_numpy()
-        change = np.flatnonzero((t[1:] != t[:-1]) | (bk[1:] != bk[:-1])) + 1
-        if len(change) == 0:
-            carry = b
-            continue
-        cut = int(change[-1])
-        carry = b.iloc[cut:].reset_index(drop=True)
-        yield _encode_chunk(b.iloc[:cut])
-    if carry is not None and len(carry):
-        yield _encode_chunk(carry)
+def _encode_stream(batches) -> "Iterator[pa.RecordBatch]":
+    """mapInArrow kernel over ONE shuffle partition: accumulate the
+    partition, sort it in numpy, encode.
+
+    The sort runs on integer keys — (term dictionary code, bucket,
+    docno) via np.lexsort — instead of a JVM Tungsten sort over rows
+    with string keys (measured: the JVM sort + row/columnar conversions
+    dominated the stage and memory-bandwidth-saturated at higher core
+    counts).  Group order within a partition is irrelevant to
+    correctness (any contiguous grouping works), so sorting by
+    dictionary code rather than lexicographic term order is fine.
+
+    Memory: holds one shuffle partition (~rows x 30 B + term dict);
+    partition count is the caller's lever, same sizing discipline as
+    Spark's own sort would need to avoid spilling.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tbls = [pa.Table.from_batches([rb]) for rb in batches]
+    tbls = [t for t in tbls if t.num_rows]
+    if not tbls:
+        return
+    tbl = pa.concat_tables(tbls).combine_chunks()
+    term = tbl.column("term")
+    if isinstance(term, pa.ChunkedArray):
+        term = term.combine_chunks()
+    enc = pc.dictionary_encode(term)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = tbl.column("bucket").to_numpy()
+    docno = tbl.column("docno").to_numpy()
+    order = np.lexsort((docno, bucket, codes))
+    codes = codes[order]
+    bucket = bucket[order].astype(np.int64)
+    docno = docno[order].astype(np.int64)
+    tf = tbl.column("tf").to_numpy()[order].astype(np.int64)
+    dl = tbl.column("dl").to_numpy()[order].astype(np.int64)
+    n = len(docno)
+    grp_change = np.empty(n, dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = (codes[1:] != codes[:-1]) | (bucket[1:] != bucket[:-1])
+    yield _encode_sorted(enc.dictionary, codes, bucket, docno, tf, dl, grp_change)
 
 
 def blocks_df(postings: DataFrame, num_docs: int, target_buckets: int | None = None) -> tuple[DataFrame, int]:
     """Compressed block table. bucket = docno // span (range salt).
 
     Physical plan: shuffle on (term, bucket) — the same two-phase shape
-    as the reference's radix-partitioned aggregation — then a partition-
-    local sort and ONE vectorized encode pass per Arrow batch
-    (mapInPandas, not per-group applyInPandas: hot terms produce many
-    bounded groups and per-group Arrow round-trips dominate otherwise).
+    as the reference's radix-partitioned aggregation — then ONE
+    partition-level Arrow kernel that integer-sorts and block-encodes
+    (no JVM sort, no per-group Arrow round-trips).
     """
     if target_buckets is None:
-        target_buckets = max(postings.sparkSession.sparkContext.defaultParallelism * 2, 16)
+        # Deterministic (NOT core-count-dependent): the index layout must
+        # be identical whatever cluster built it.  64 buckets give ample
+        # query-path parallelism at test scale; the span cap takes over
+        # at large corpora (10^12 docs → ~4M buckets of ≤2^18 docs).
+        target_buckets = DEFAULT_TARGET_BUCKETS
     span = max(1, min(-(-num_docs // target_buckets), MAX_BUCKET_SPAN))  # ceil, capped
     with_bucket = postings.withColumn("bucket", (F.col("docno") / span).cast("long"))
-    arranged = (
-        with_bucket.repartition("term", "bucket")
-        .sortWithinPartitions("term", "bucket", "docno")
-        .select("term", "bucket", "docno", "tf", "dl")
+    # Explicit partition count: repartition(cols) without N is subject to
+    # AQE partition coalescing, which at modest shuffle sizes collapses
+    # the encode stage to a few tasks and serializes it — with N it keeps
+    # one task per core slot.
+    parts = max(postings.sparkSession.sparkContext.defaultParallelism, 8)
+    arranged = with_bucket.repartition(parts, "term", "bucket").select(
+        "term", "bucket", "docno", "tf", "dl"
     )
-    out = arranged.mapInPandas(_encode_stream, schema=BLOCK_SCHEMA)
+    out = arranged.mapInArrow(_encode_stream, schema=BLOCK_SCHEMA)
     return out, span
+
+
+
+# ------------------------------------------------- partition-aligned build
+
+def _pidx_expr(dtype: str, parts: int, lo: int | None = None, hi: int | None = None):
+    """Deterministic, MONOTONE doc_id → bucket-partition index in
+    [0, parts).  Unlike repartitionByRange, no sampling is involved, so
+    every pass over the data sees identical bucket boundaries without
+    persisting anything.
+
+    - numeric ids: linear scaling over the observed [lo, hi] range;
+    - string ids: the first 8 hex chars as an integer (uniform for
+      sha-style ids; lexicographic order of fixed-case hex == numeric
+      order, so monotonicity holds).  Non-hex ids yield NULL, which the
+      caller detects and falls back to the shuffle strategy.
+    """
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        width = (hi - lo + 1) if hi is not None else 1
+        return F.least(
+            F.floor((F.col("doc_id") - F.lit(lo)).cast("double") / F.lit(float(width)) * parts),
+            F.lit(parts - 1),
+        ).cast("int")
+    prefix = F.conv(F.substring(F.col("doc_id"), 1, 8), 16, 10).cast("double")
+    return F.when(
+        F.col("doc_id").rlike("^[0-9a-f]{8}"),
+        F.least(F.floor(prefix / F.lit(4294967296.0) * parts), F.lit(parts - 1)).cast("int"),
+    )
+
+
+def _aligned_kernel(offsets: dict[int, int], span: int):
+    """mapInArrow kernel over ONE hash partition of (doc_id, content,
+    pidx) rows sorted by (pidx, doc_id): assign docnos sequentially per
+    pidx run (offsets are shuffle-independent, computed from the pidx
+    expression itself), tokenize + aggregate + block-encode chunks cut
+    at bucket boundaries.  Memory is O(ARROW_SLICE_DOCS) docs.
+    """
+    import pyarrow as pa
+
+    from terrier_spark.functions.tokenize import ARROW_SLICE_DOCS
+
+    def kernel(batches):
+        buf: list[pa.RecordBatch] = []
+        pending = 0
+        cur_pidx: int | None = None
+        next_docno = 0
+
+        def cut(n: int):
+            nonlocal buf, pending
+            out, got = [], 0
+            while got < n:
+                rb = buf[0]
+                take = min(rb.num_rows, n - got)
+                out.append(rb.slice(0, take))
+                if take == rb.num_rows:
+                    buf.pop(0)
+                else:
+                    buf[0] = rb.slice(take)
+                got += take
+            pending -= n
+            return pa.Table.from_batches(out).combine_chunks()
+
+        def emit_chunks(force: bool):
+            nonlocal next_docno
+            while pending:
+                to_boundary = span - (next_docno % span)
+                n = min(to_boundary, ARROW_SLICE_DOCS, pending)
+                if not force and pending < min(to_boundary, ARROW_SLICE_DOCS):
+                    break
+                chunk = cut(n)
+                rb = _encode_bucket_chunk(chunk, next_docno, span)
+                next_docno += n
+                if rb is not None:
+                    yield rb
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            pvals = rb.column(2).to_numpy(zero_copy_only=False)
+            # split the batch at pidx changes (runs are contiguous)
+            starts = np.flatnonzero(np.r_[True, pvals[1:] != pvals[:-1]])
+            ends = np.r_[starts[1:], len(pvals)]
+            for s, e in zip(starts, ends):
+                p = int(pvals[s])
+                if p != cur_pidx:
+                    yield from emit_chunks(force=True)
+                    cur_pidx = p
+                    next_docno = offsets[p]
+                buf.append(rb.slice(s, e - s))
+                pending += e - s
+                yield from emit_chunks(force=False)
+        yield from emit_chunks(force=True)
+
+    return kernel
+
+
+def _encode_bucket_chunk(tbl, start_docno: int, span: int):
+    """Tokenize + aggregate + block-encode one single-bucket doc chunk.
+    docno of row i = start_docno + i (rows are doc_id-sorted within the
+    pidx run, so this IS the global rank).  Returns None if the chunk
+    produced no postings (all-empty docs)."""
+    import pyarrow as pa
+
+    from terrier_spark.functions.tokenize import tokenize_count_slice
+
+    content = tbl.column(1)
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    u_doc, u_code, tf, dl, vocab = tokenize_count_slice(content)
+    if len(u_doc) == 0:
+        return None
+    docno = start_docno + u_doc.astype(np.int64)
+    order = np.lexsort((docno, u_code))
+    codes = u_code[order].astype(np.int64)
+    docno = docno[order]
+    tf_s = tf[order].astype(np.int64)
+    dl_s = dl[u_doc][order].astype(np.int64)
+    m = len(codes)
+    grp_change = np.empty(m, dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = codes[1:] != codes[:-1]
+    bucket_arr = np.full(m, start_docno // span, dtype=np.int64)
+    return _encode_sorted(vocab, codes, bucket_arr, docno, tf_s, dl_s, grp_change)
+
+
+def _docmap_kernel(offsets: dict[int, int], id_field: str):
+    """(doc_id, docno) from the same aligned layout — sequential per
+    pidx run.  Lazy companion to the blocks kernel."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        cur_pidx: int | None = None
+        next_docno = 0
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            pvals = rb.column(1).to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(np.r_[True, pvals[1:] != pvals[:-1]])
+            ends = np.r_[starts[1:], len(pvals)]
+            out_ids, out_nos = [], []
+            for s, e in zip(starts, ends):
+                p = int(pvals[s])
+                if p != cur_pidx:
+                    cur_pidx = p
+                    next_docno = offsets[p]
+                out_ids.append(rb.column(0).slice(s, e - s))
+                out_nos.append(np.arange(next_docno, next_docno + (e - s), dtype=np.int64))
+                next_docno += e - s
+            yield pa.RecordBatch.from_arrays(
+                [pa.concat_arrays(out_ids), pa.array(np.concatenate(out_nos))],
+                names=["doc_id", "docno"],
+            )
+
+    return kernel
+
+
+def postings_from_blocks(blocks: DataFrame) -> DataFrame:
+    """(term, docno, tf, dl) decoded back from the compressed block
+    table — the exploded-postings view without re-tokenizing."""
+    import pyarrow as pa
+
+    from terrier_spark.operators.compress import decode_posting_list, vbyte_decode
+
+    def kernel(batches):
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            terms, docnos, tfs, dls = [], [], [], []
+            term_col = tbl.column("term")
+            db = tbl.column("docno_blob").to_pylist()
+            tb = tbl.column("tf_blob").to_pylist()
+            lb = tbl.column("dl_blob").to_pylist()
+            reps = []
+            for i in range(tbl.num_rows):
+                d, t = decode_posting_list(bytes(db[i]), bytes(tb[i]))
+                l = vbyte_decode(bytes(lb[i]))
+                docnos.append(d.astype(np.int64))
+                tfs.append(t.astype(np.int64))
+                dls.append(l.astype(np.int64))
+                reps.append(len(d))
+            if not reps:
+                continue
+            idx = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), reps)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    term_col.take(pa.array(idx)).combine_chunks() if isinstance(term_col, pa.ChunkedArray) else term_col.take(pa.array(idx)),
+                    pa.array(np.concatenate(docnos)),
+                    pa.array(np.concatenate(tfs)),
+                    pa.array(np.concatenate(dls)),
+                ],
+                names=["term", "docno", "tf", "dl"],
+            )
+
+    return blocks.mapInArrow(kernel, "term string, docno long, tf long, dl long")
+
+
+def _build_index_aligned(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_buckets: int | None,
+    cache: bool,
+) -> InvertedIndex | None:
+    """Partition-aligned build: ONE shuffle of the corpus content, then
+    everything — docno assignment, tokenization, per-doc tf aggregation,
+    bucket grouping, block encoding — happens task-locally inside a
+    single Arrow kernel.  No posting-row shuffle, no JVM join or sort,
+    postings never exist as JVM rows at all.
+
+    This works because the partitioning expression (_pidx_expr) is a
+    deterministic monotone function of doc_id: each pidx bucket is a
+    contiguous doc_id range wholly inside one task, per-bucket row
+    counts (→ docno offsets) are computable by a cheap id-only
+    pre-scan, and docnos are sequential within each bucket run.
+
+    Returns None when ids are not alignable (non-hex strings) — caller
+    falls back to the shuffle strategy.
+    """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof = _os.environ.get("TS_BUILD_PROFILE") == "1"
+    _t0 = _time.monotonic()
+
+    spark = docs.sparkSession
+    parts = max(spark.sparkContext.defaultParallelism, 8)
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("content"))
+    dtype = base.schema["doc_id"].dataType.simpleString()
+    lo = hi = None
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        r = base.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        if r[0] is None:
+            return None
+        lo, hi = int(r[0]), int(r[1])
+    pidx = _pidx_expr(dtype, parts, lo, hi)
+
+    counts = (
+        base.groupBy(pidx.alias("pidx")).agg(F.count("*").alias("cnt")).collect()
+    )
+    if any(row["pidx"] is None for row in counts):
+        return None  # unalignable ids
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["pidx"]):
+        offsets[int(row["pidx"])] = acc
+        acc += row["cnt"]
+    num_docs = acc
+    if target_buckets is None:
+        target_buckets = DEFAULT_TARGET_BUCKETS
+    span = max(1, min(-(-num_docs // max(target_buckets, 1)), MAX_BUCKET_SPAN))
+    if _prof:
+        print(f"[build] docnos: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
+        _t0 = _time.monotonic()
+
+    ranged = (
+        base.withColumn("pidx", pidx)
+        .repartition(parts, "pidx")
+        .sortWithinPartitions("pidx", "doc_id")
+        .select("doc_id", "content", "pidx")
+    )
+    blocks = ranged.mapInArrow(_aligned_kernel(offsets, span), BLOCK_SCHEMA)
+    if cache:
+        blocks = blocks.persist()
+        blocks.count()
+    if _prof:
+        print(f"[build] kernel->blocks: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
+        _t0 = _time.monotonic()
+
+    lex = lexicon_from_blocks(blocks)
+    if cache:
+        lex = lex.persist()
+    num_tokens = int(lex.agg(F.sum("cf")).collect()[0][0] or 0)
+    avgdl = num_tokens / num_docs if num_docs else 0.0
+    if _prof:
+        print(f"[build] lexicon+stats: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
+
+    id_type = dtype
+    docmap = ranged.select("doc_id", "pidx").mapInArrow(
+        _docmap_kernel(offsets, "doc_id"), f"doc_id {id_type}, docno long"
+    )
+    kernel_out = tokenize_postings(docs, id_col, text_col)  # lazy, tests only
+    doclens = kernel_out.filter(F.col("term").isNull()).select(
+        "doc_id", F.col("dl").alias("doclen")
+    )
+    return InvertedIndex(
+        docmap=docmap,
+        postings=postings_from_blocks(blocks),
+        doclens=doclens,
+        lexicon=lex,
+        blocks=blocks,
+        num_docs=num_docs,
+        num_tokens=num_tokens,
+        avgdl=avgdl,
+        bucket_span=span,
+    )
 
 
 def build_index(
@@ -270,36 +626,97 @@ def build_index(
     text_col: str = "content",
     target_buckets: int | None = None,
     cache: bool = True,
+    strategy: str = "aligned",
 ) -> InvertedIndex:
     """End-to-end build. Input: any (id, text) DataFrame.
 
-    Physical plan: ONE Arrow pass tokenizes + pre-aggregates per-doc term
-    frequencies (tokenize_postings), then everything downstream shuffles
-    only per-(doc, term) rows — never per token occurrence."""
-    kernel_out = tokenize_postings(docs, id_col, text_col)
-    if cache:
-        kernel_out = kernel_out.persist()
-    doclens = kernel_out.filter(F.col("term").isNull()).select(
-        "doc_id", F.col("dl").alias("doclen")
-    )
-    docmap = assign_docnos(doclens)
+    ``strategy="aligned"`` (default): the partition-aligned single-
+    shuffle build (_build_index_aligned) — used whenever doc_ids are
+    alignable (numeric, or hex strings like sha256); falls back to
+    "shuffle" otherwise.  ``strategy="shuffle"``: kernel → docno join →
+    (term, bucket) shuffle → encode.
+
+    Physical plan — a single linear pipeline with NO giant
+    materialization (caching the raw postings was measured to be the
+    non-scaling cost at higher core counts — a multi-GB deserialized
+    cache write that memory-bandwidth-saturates):
+
+      1. id-only pass → dense docno (no tokenization; moves just the
+         pruned doc_id column)
+      2. the ONLY tokenize pass: Arrow kernel (tokenize + per-doc tf,
+         map-side) → join docmap (docno) → shuffle(term, bucket) → sort
+         → encode → BLOCKS (the only persisted artifact: compressed,
+         ~30x smaller than raw postings)
+      3. lexicon + collection stats aggregated from block metadata
+
+    The uncompressed postings / doclens DataFrames are exposed lazily
+    for the exploded scorer and tests; consuming them re-runs the
+    kernel.  Collection stats come for free: num_docs from the docno
+    pass, num_tokens = Σ cf over the (compact) lexicon."""
+    if strategy == "aligned":
+        idx = _build_index_aligned(docs, id_col, text_col, target_buckets, cache)
+        if idx is not None:
+            return idx
+        # ids not alignable — fall through to the shuffle strategy
+
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof = _os.environ.get("TS_BUILD_PROFILE") == "1"
+    _t0 = _time.monotonic()
+
+    docmap, num_docs, ranged = assign_docnos(docs.select(F.col(id_col).alias("doc_id")))
     if cache:
         docmap = docmap.persist()
-    cstats = docmap.agg(
-        F.count("*").alias("num_docs"), F.sum("doclen").alias("num_tokens")
-    ).collect()[0]
-    num_docs = int(cstats["num_docs"])
-    num_tokens = int(cstats["num_tokens"] or 0)
-    avgdl = num_tokens / num_docs if num_docs else 0.0
+    if _prof:
+        print(f"[build] docnos: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
+        _t0 = _time.monotonic()
 
-    post = postings_df(kernel_out, docmap)
-    if cache:
-        post = post.persist()
-    lex = lexicon_df(post)
+    if num_docs <= KERNEL_DOCNO_MAX_DOCS:
+        # Resolve docnos INSIDE the tokenize kernel from a broadcast of
+        # the sorted id array (docno == rank): no JVM docmap join, no
+        # 64-byte id strings in the posting shuffle.
+        ids = [r["doc_id"] for r in docmap.select("doc_id").collect()]
+        arr = np.sort(np.asarray(ids))
+        bc = docs.sparkSession.sparkContext.broadcast(arr)
+        kernel_out = tokenize_postings(docs, id_col, text_col, docno_ids_bc=bc)
+        post = kernel_out.filter(F.col("term").isNotNull()).select(
+            "term", "docno", "tf", "dl"
+        )
+    else:
+        kernel_out = tokenize_postings(docs, id_col, text_col)
+        post = postings_df(kernel_out, docmap, num_docs)
     blocks, span = blocks_df(post, num_docs, target_buckets)
+    if cache:
+        blocks = blocks.persist()
+        blocks.count()
+    if _prof:
+        print(f"[build] kernel->blocks: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
+        _t0 = _time.monotonic()
+    lex = lexicon_from_blocks(blocks)
+    if cache:
+        lex = lex.persist()
+    num_tokens = int(lex.agg(F.sum("cf")).collect()[0][0] or 0)
+    if cache:
+        # docmap is materialized (persisted + consumed by the blocks
+        # build); the intermediate ranged-id cache can go.
+        docmap.count()
+        ranged.unpersist()
+    if _prof:
+        print(f"[build] lexicon+stats: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
+    avgdl = num_tokens / num_docs if num_docs else 0.0
+    null_rows = kernel_out.filter(F.col("term").isNull())
+    if "docno" in kernel_out.columns:
+        doclens = null_rows.select("docno", F.col("dl").alias("doclen")).join(
+            docmap, "docno"
+        ).select("doc_id", "doclen")
+    else:
+        doclens = null_rows.select("doc_id", F.col("dl").alias("doclen"))
     return InvertedIndex(
         docmap=docmap,
         postings=post,
+        doclens=doclens,
         lexicon=lex,
         blocks=blocks,
         num_docs=num_docs,
@@ -344,6 +761,7 @@ def load_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
     return InvertedIndex(
         docmap=spark.read.parquet(f"{out_dir}/docmap"),
         postings=None,
+        doclens=None,
         lexicon=spark.read.parquet(f"{out_dir}/lexicon"),
         blocks=spark.read.parquet(f"{out_dir}/blocks"),
         num_docs=meta["num_docs"],

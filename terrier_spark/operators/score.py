@@ -184,6 +184,51 @@ def _bucket_topk(
     )
 
 
+def bm25_topk_conjunctive(
+    index: InvertedIndex, query: str, k: int = 10,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> DataFrame:
+    """AND semantics: only docs containing EVERY (present) query term are
+    scored — the reference's multi-way hash-join posting intersection
+    (/root/reference/src/execution/sql/join_hash_table.cpp Build/probe,
+    compiler_test.cpp MultiWayHashJoinTest) expressed as a count filter
+    over the grouped postings: a doc survives iff its distinct matched
+    term count equals the query's term count.  Scores are the same BM25
+    sums as the OR path, so AND results are a subset of OR results."""
+    spark = index.postings.sparkSession
+    terms = _query_terms(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id string, docno long, score double")
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    lex = index.lexicon.join(F.broadcast(tdf), "term").withColumn(
+        "idf", idf_col(F.col("df"), index.num_docs)
+    )
+    live = lex.count()  # terms actually present in the collection
+    if live < len(terms):
+        # a doc can never contain an absent term — AND result is empty
+        return spark.createDataFrame([], "doc_id string, docno long, score double")
+    cand = index.postings.join(F.broadcast(tdf), "term")
+    scored = cand.join(F.broadcast(lex.select("term", "idf")), "term").select(
+        "term",
+        "docno",
+        bm25_score_col(F.col("tf"), F.col("dl"), F.col("idf"), index.avgdl, k1, b).alias("partial"),
+    )
+    agg = scored.groupBy("docno").agg(
+        F.bround(F.sum("partial"), 9).alias("score"),
+        F.count_distinct("term").alias("n_terms"),
+    )
+    top = (
+        agg.filter(F.col("n_terms") == live)
+        .orderBy(F.desc("score"), F.asc("docno"))
+        .limit(k)
+    )
+    return (
+        top.join(index.docmap.select("doc_id", "docno"), "docno")
+        .select("doc_id", "docno", "score")
+        .orderBy(F.desc("score"), F.asc("docno"))
+    )
+
+
 def bm25_topk_blocks(
     index: InvertedIndex, query: str, k: int = 10,
     k1: float = BM25_K1, b: float = BM25_B,

@@ -94,3 +94,20 @@ def bm25_topk(
         key=lambda x: (-x[0], x[1]),
     )
     return [(d, s) for s, d in ranked[:k]]
+
+
+def bm25_topk_and(
+    index: OracleIndex,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[str, float]]:
+    """Conjunctive top-k: only docs containing EVERY query term (empty if
+    any term is absent from the collection); scores = same BM25 sums."""
+    terms = sorted(set(tokenize(query)))
+    if not terms or any(t not in index.postings for t in terms):
+        return []
+    docs = set.intersection(*(set(index.postings[t]) for t in terms))
+    full = bm25_topk(index, query, k=len(index.doclen), k1=k1, b=b)
+    return [(d, s) for d, s in full if d in docs][:k]

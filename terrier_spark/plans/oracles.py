@@ -322,7 +322,24 @@ LIMIT 10
 """
 
 
+def _bm25_and_sql() -> str:
+    """Conjunctive (AND) variant: only docs containing EVERY query term
+    — and empty if any query term is absent from the collection."""
+    terms = _bm25_terms()
+    q_n = len(set(BM25_QUERY.lower().split()))
+    base = _bm25_sql()
+    return base.replace(
+        "    GROUP BY tf.doc_id\n)",
+        f"    GROUP BY tf.doc_id\n"
+        f"    HAVING count(DISTINCT tf.tok) = {q_n}\n"
+        f"       AND (SELECT count(*) FROM dft) = {q_n}\n)",
+    )
+
+
 ORACLES["ir_bm25_topk"] = _bm25_sql()
+# The WAND block path is rank-identical by construction — same oracle.
+ORACLES["ir_bm25_topk_wand"] = _bm25_sql()
+ORACLES["ir_bm25_topk_and"] = _bm25_and_sql()
 
 ORACLES["text_token_counts"] = f"""
 SELECT doc_id,

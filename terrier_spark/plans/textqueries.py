@@ -61,6 +61,28 @@ def ir_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "score")
 
 
+def ir_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive BM25: posting-list intersection (join on docno) —
+    only docs containing every query term."""
+    from terrier_spark.operators.score import bm25_topk_conjunctive
+
+    d = _docs(spark, sf_dir)
+    idx = build_index(d, id_col="doc_id", text_col="text")
+    out = bm25_topk_conjunctive(idx, BM25_QUERY, 10)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "score")
+
+
+def ir_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query through the compressed block path with block-max WAND
+    pruning — must be rank-identical to the exploded plan and oracle."""
+    from terrier_spark.operators.score import bm25_topk_blocks
+
+    d = _docs(spark, sf_dir)
+    idx = build_index(d, id_col="doc_id", text_col="text")
+    out = bm25_topk_blocks(idx, BM25_QUERY, 10, prune=True)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "score")
+
+
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(

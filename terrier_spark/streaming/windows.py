@@ -42,8 +42,18 @@ def windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 def run_stream_over_parquet(
     spark: SparkSession, parquet_path: str, query_name: str = "events_agg"
 ) -> DataFrame:
-    """Run the streaming plan over a parquet dir via a memory sink;
-    returns the final result as a (batch) DataFrame."""
+    """Run the streaming plan over a parquet dir (or a single .parquet
+    file — Spark's streaming file source needs a directory, so a bare
+    file is staged into a temp dir first) via a memory sink; returns the
+    final result as a (batch) DataFrame."""
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.isfile(parquet_path):
+        staged = tempfile.mkdtemp(prefix="ts_stream_")
+        shutil.copy(parquet_path, os.path.join(staged, os.path.basename(parquet_path)))
+        parquet_path = staged
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -35,6 +35,16 @@ def test_blocks_rank_identical(spark_index, oracle_index, query):
     _check(bm25_topk_blocks(spark_index, query, 10).collect(), exp)
 
 
+@pytest.mark.parametrize(
+    "query", ["int return", "foo_bar the", "zzz_absent int", "int", "node_list_map key0 idx"]
+)
+def test_conjunctive_rank_identical(spark_index, oracle_index, query):
+    from terrier_spark.operators.score import bm25_topk_conjunctive
+
+    exp = oracle.bm25_topk_and(oracle_index, query, 10)
+    _check(bm25_topk_conjunctive(spark_index, query, 10).collect(), exp)
+
+
 @pytest.mark.parametrize("query", ["int return", "foo_bar the int for", "node_list_map key0 idx"])
 def test_wand_prune_matches_full_scan(spark_index, query):
     """Block-max pruning must be invisible: same docs, same exact scores."""

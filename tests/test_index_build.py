@@ -26,7 +26,7 @@ def test_docnos_dense_and_ordered(spark_index):
 
 
 def test_doclens_exact(spark_index, oracle_index):
-    got = {r["doc_id"]: r["doclen"] for r in spark_index.docmap.collect()}
+    got = {r["doc_id"]: r["doclen"] for r in spark_index.doclens.collect()}
     assert got == oracle_index.doclen
 
 
@@ -51,6 +51,18 @@ def test_blocks_roundtrip_to_postings(spark_index, oracle_index):
             got.setdefault(r["term"], {})[doc_id] = int(tf)
             assert oracle_index.doclen[doc_id] == int(dl)
     assert got == oracle_index.postings
+
+
+def test_shuffle_strategy_equivalent(corpus_sdf, oracle_index):
+    """The shuffle-strategy build (fallback for unalignable ids) must
+    produce identical postings and stats as the aligned default."""
+    from terrier_spark.operators.index_build import build_index
+
+    idx = build_index(corpus_sdf, strategy="shuffle")
+    assert idx.num_docs == oracle_index.num_docs
+    assert idx.num_tokens == oracle_index.num_tokens
+    lex = {r["term"]: (r["df"], r["cf"]) for r in idx.lexicon.collect()}
+    assert lex == {t: (oracle_index.df[t], oracle_index.cf[t]) for t in oracle_index.df}
 
 
 def test_hot_term_spreads_over_buckets(spark_index):

@@ -1,0 +1,20 @@
+"""Structured Streaming parity: the streaming windowed agg over the
+events table must equal the batch plan (Spark's batch/stream unification
+is the contract; the reference has no streaming — SURVEY.md §2.11)."""
+
+from terrier_spark.streaming.windows import run_stream_over_parquet, windowed_agg
+
+
+def _norm(rows):
+    return sorted(
+        (str(r["window_start"]), r["event_type"], r["n_events"], float(r["total_value"]))
+        for r in rows
+    )
+
+
+def test_stream_equals_batch(spark, sf_dir):
+    path = f"{sf_dir}/events.parquet"
+    batch = windowed_agg(spark.read.parquet(path))
+    stream_result = run_stream_over_parquet(spark, path, query_name="t_events_agg")
+    assert _norm(stream_result.collect()) == _norm(batch.collect())
+    assert stream_result.count() > 0
