@@ -355,66 +355,48 @@ def _pidx_expr(dtype: str, parts: int, lo: int | None = None, hi: int | None = N
 
 def _aligned_kernel(offsets: dict[int, int], span: int):
     """mapInArrow kernel over ONE hash partition of (doc_id, content,
-    pidx) rows sorted by (pidx, doc_id): assign docnos sequentially per
-    pidx run (offsets are shuffle-independent, computed from the pidx
-    expression itself), tokenize + aggregate + block-encode chunks cut
-    at bucket boundaries.  Memory is O(ARROW_SLICE_DOCS) docs.
+    pidx) rows: buffer the partition's rows grouped by pidx (Arrow
+    columnar — compact, no JVM row materialization), C++-sort each pidx
+    bucket by doc_id, assign docnos sequentially from the bucket's
+    offset, and tokenize + encode in span/SLICE-bounded chunks.
+
+    There is deliberately NO upstream sortWithinPartitions: a JVM sort
+    would copy every full content row into Tungsten sort buffers
+    (gigabytes of extra memory traffic); here the only full-width data
+    movement is one Arrow take() per bucket.  Task memory = one
+    partition of content in Arrow form — the same budget any Spark sort
+    would need, so standard partition sizing applies at scale.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from terrier_spark.functions.tokenize import ARROW_SLICE_DOCS
 
     def kernel(batches):
-        buf: list[pa.RecordBatch] = []
-        pending = 0
-        cur_pidx: int | None = None
-        next_docno = 0
-
-        def cut(n: int):
-            nonlocal buf, pending
-            out, got = [], 0
-            while got < n:
-                rb = buf[0]
-                take = min(rb.num_rows, n - got)
-                out.append(rb.slice(0, take))
-                if take == rb.num_rows:
-                    buf.pop(0)
-                else:
-                    buf[0] = rb.slice(take)
-                got += take
-            pending -= n
-            return pa.Table.from_batches(out).combine_chunks()
-
-        def emit_chunks(force: bool):
-            nonlocal next_docno
-            while pending:
-                to_boundary = span - (next_docno % span)
-                n = min(to_boundary, ARROW_SLICE_DOCS, pending)
-                if not force and pending < min(to_boundary, ARROW_SLICE_DOCS):
-                    break
-                chunk = cut(n)
-                rb = _encode_bucket_chunk(chunk, next_docno, span)
-                next_docno += n
-                if rb is not None:
-                    yield rb
-
+        groups: dict[int, list] = {}
         for rb in batches:
             if not rb.num_rows:
                 continue
             pvals = rb.column(2).to_numpy(zero_copy_only=False)
-            # split the batch at pidx changes (runs are contiguous)
             starts = np.flatnonzero(np.r_[True, pvals[1:] != pvals[:-1]])
             ends = np.r_[starts[1:], len(pvals)]
-            for s, e in zip(starts, ends):
-                p = int(pvals[s])
-                if p != cur_pidx:
-                    yield from emit_chunks(force=True)
-                    cur_pidx = p
-                    next_docno = offsets[p]
-                buf.append(rb.slice(s, e - s))
-                pending += e - s
-                yield from emit_chunks(force=False)
-        yield from emit_chunks(force=True)
+            for st, en in zip(starts, ends):
+                groups.setdefault(int(pvals[st]), []).append(rb.slice(st, en - st))
+        for p in sorted(groups):
+            tbl = pa.Table.from_batches(groups[p]).combine_chunks()
+            order = pc.sort_indices(tbl.column(0))
+            tbl = tbl.take(order).combine_chunks()
+            next_docno = offsets[p]
+            n = tbl.num_rows
+            done = 0
+            while done < n:
+                to_boundary = span - (next_docno % span)
+                take = min(to_boundary, ARROW_SLICE_DOCS, n - done)
+                rb_out = _encode_bucket_chunk(tbl.slice(done, take), next_docno, span)
+                next_docno += take
+                done += take
+                if rb_out is not None:
+                    yield rb_out
 
     return kernel
 
@@ -449,30 +431,33 @@ def _encode_bucket_chunk(tbl, start_docno: int, span: int):
 
 
 def _docmap_kernel(offsets: dict[int, int], id_field: str):
-    """(doc_id, docno) from the same aligned layout — sequential per
-    pidx run.  Lazy companion to the blocks kernel."""
+    """(doc_id, docno) from the same aligned layout: group the
+    partition's ids per pidx, C++-sort each bucket, number sequentially
+    from the bucket offset.  Lazy companion to the blocks kernel."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     def kernel(batches):
-        cur_pidx: int | None = None
-        next_docno = 0
+        groups: dict[int, list] = {}
         for rb in batches:
             if not rb.num_rows:
                 continue
             pvals = rb.column(1).to_numpy(zero_copy_only=False)
             starts = np.flatnonzero(np.r_[True, pvals[1:] != pvals[:-1]])
             ends = np.r_[starts[1:], len(pvals)]
-            out_ids, out_nos = [], []
-            for s, e in zip(starts, ends):
-                p = int(pvals[s])
-                if p != cur_pidx:
-                    cur_pidx = p
-                    next_docno = offsets[p]
-                out_ids.append(rb.column(0).slice(s, e - s))
-                out_nos.append(np.arange(next_docno, next_docno + (e - s), dtype=np.int64))
-                next_docno += e - s
+            for st, en in zip(starts, ends):
+                groups.setdefault(int(pvals[st]), []).append(
+                    rb.column(0).slice(st, en - st)
+                )
+        for p in sorted(groups):
+            ids = pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in groups[p]]
+            )
+            order = pc.sort_indices(ids)
+            ids = ids.take(order)
+            base = offsets[p]
             yield pa.RecordBatch.from_arrays(
-                [pa.concat_arrays(out_ids), pa.array(np.concatenate(out_nos))],
+                [ids, pa.array(np.arange(base, base + len(ids), dtype=np.int64))],
                 names=["doc_id", "docno"],
             )
 
@@ -580,7 +565,6 @@ def _build_index_aligned(
     ranged = (
         base.withColumn("pidx", pidx)
         .repartition(parts, "pidx")
-        .sortWithinPartitions("pidx", "doc_id")
         .select("doc_id", "content", "pidx")
     )
     blocks = ranged.mapInArrow(_aligned_kernel(offsets, span), BLOCK_SCHEMA)
