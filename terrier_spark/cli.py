@@ -178,6 +178,10 @@ def cmd_bench(args) -> None:
                 env=env,
                 cwd=repo_root,
             )
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"build-index child failed (rc={p.returncode}):\n{p.stderr[-4000:]}"
+                )
             line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
             times[c].append(r["seconds"])

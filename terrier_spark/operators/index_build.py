@@ -342,10 +342,16 @@ def _pidx_expr(dtype: str, parts: int, lo: int | None = None, hi: int | None = N
     """
     if dtype in ("tinyint", "smallint", "int", "bigint"):
         width = (hi - lo + 1) if hi is not None else 1
-        return F.least(
-            F.floor((F.col("doc_id") - F.lit(lo)).cast("double") / F.lit(float(width)) * parts),
-            F.lit(parts - 1),
-        ).cast("int")
+        # NULL guard: F.least skips NULLs, so without the when() a NULL
+        # doc_id would silently land in the last bucket instead of
+        # producing the NULL pidx that triggers the shuffle fallback.
+        return F.when(
+            F.col("doc_id").isNotNull(),
+            F.least(
+                F.floor((F.col("doc_id") - F.lit(lo)).cast("double") / F.lit(float(width)) * parts),
+                F.lit(parts - 1),
+            ).cast("int"),
+        )
     prefix = F.conv(F.substring(F.col("doc_id"), 1, 8), 16, 10).cast("double")
     return F.when(
         F.col("doc_id").rlike("^[0-9a-f]{8}"),

@@ -175,7 +175,10 @@ def _bucket_topk(
             {"docno": sums.index.to_numpy(np.int64), "score": np.round(sums.to_numpy(), 9)}
         )
         if theta is not None:
-            out = out[out["score"] >= theta - 1e-12]
+            # Same 1e-9 slack as the block-level prune: theta comes from
+            # 9-decimal-rounded seed scores, so a genuine top-k doc's
+            # rounded total may sit up to 1e-9 below it.
+            out = out[out["score"] >= theta - 1e-9]
         return out.sort_values(["score", "docno"], ascending=[False, True]).head(k)
 
     cand = blocks.filter(F.col("term").isin(terms))

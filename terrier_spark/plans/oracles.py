@@ -489,3 +489,30 @@ SELECT doc_id,
        octet_length(encode(text))::BIGINT AS n_bytes
 FROM documents ORDER BY doc_id
 """
+
+# 8-bin byte histogram of the utf-8 payload, L1-normalized — the
+# deterministic stand-in feature extractor (functions/multimodal.py
+# fake_features: np.histogram(bytes, bins=8, range=(0,256)) / n).
+# Documents are ASCII, so ord(char) == byte value; bin = byte // 32.
+ORACLES["mm_features"] = """
+WITH counts AS (
+    SELECT doc_id, ord(substr(text, i, 1)) // 32 AS feat_idx,
+           count(*) AS c
+    FROM (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents
+    )
+    GROUP BY 1, 2
+), grid AS (
+    SELECT doc_id, length(text) AS n, unnest(range(0, 8)) AS feat_idx
+    FROM documents
+)
+SELECT g.doc_id,
+       g.feat_idx::BIGINT AS feat_idx,
+       round(CASE WHEN g.n > 0
+                  THEN coalesce(c.c, 0)::DOUBLE / g.n
+                  ELSE 0.0 END, 9)::DOUBLE AS value
+FROM grid g
+LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.feat_idx = c.feat_idx
+ORDER BY g.doc_id, g.feat_idx
+"""

@@ -192,12 +192,25 @@ def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over binary payloads (stubbed
-    decoder — rows-only check; pytest asserts the vector contract)."""
+    decoder — deterministic 8-bin byte histogram, see multimodal.py).
+
+    Output is posexploded to scalar rows (doc_id, feat_idx, value) so
+    the driver's canonicalizer can hash it, and the histogram is exactly
+    expressible as a DuckDB oracle over the utf-8 payload bytes."""
     from terrier_spark.functions import multimodal
 
     d = _docs(spark, sf_dir)
     m = multimodal.to_media_df(d, "doc_id", "text")
-    return multimodal.extract_features(m).orderBy("doc_id")
+    feats = multimodal.extract_features(m)
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("feat_idx", "value"))
+        .select(
+            "doc_id",
+            F.col("feat_idx").cast("long").alias("feat_idx"),
+            F.bround("value", 9).alias("value"),
+        )
+        .orderBy("doc_id", "feat_idx")
+    )
 
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,8 +44,16 @@ def _swap_write(spark: SparkSession, path: str, new_df: DataFrame) -> None:
     staging = tempfile.mkdtemp(prefix="dml_staging_", dir=os.path.dirname(path) or ".")
     try:
         new_df.write.mode("overwrite").parquet(staging)
-        old = path + ".old"
+        # Unique .old target per swap: a leftover dir from a previously
+        # interrupted run must not make the rename fail.
+        old = tempfile.mkdtemp(prefix=os.path.basename(path) + ".old_",
+                               dir=os.path.dirname(path) or ".")
+        os.rmdir(old)
         os.rename(path, old)
+        # Crash window: between these two renames there is no table at
+        # `path` (data is intact under `old`).  Iceberg closes this gap
+        # with an atomic metadata-pointer swap; recovery here is manual
+        # (rename the .old_* dir back).
         os.rename(staging, path)
         shutil.rmtree(old)
     except Exception:
@@ -54,11 +62,16 @@ def _swap_write(spark: SparkSession, path: str, new_df: DataFrame) -> None:
 
 
 def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
-    """DELETE FROM t WHERE p. Returns number of rows deleted."""
+    """DELETE FROM t WHERE p. Returns number of rows deleted.
+
+    SQL DELETE semantics: only rows where p is TRUE are removed — rows
+    where p evaluates to NULL (e.g. comparisons against NULL columns)
+    are retained, hence the coalesce to FALSE before negating."""
     t = spark.read.parquet(path)
-    n_del = t.filter(predicate).count()
+    cond = F.coalesce(predicate, F.lit(False))
+    n_del = t.filter(cond).count()
     if n_del:
-        _swap_write(spark, path, t.filter(~predicate))
+        _swap_write(spark, path, t.filter(~cond))
     return n_del
 
 
