@@ -49,6 +49,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_in_subquery": R.q_in_subquery,
         "q_scalar_subquery": R.q_scalar_subquery,
         "q_events_tumbling": R.q_events_tumbling,
+        "q_theta_join": R.q_theta_join,
+        "q_range_band_join": R.q_range_band_join,
+        "q_right_outer_join": R.q_right_outer_join,
+        "q_full_outer_join": R.q_full_outer_join,
+        "q_scalar_funcs": R.q_scalar_funcs,
+        "q_result_const": R.q_result_const,
+        "q_csv_scan": R.q_csv_scan,
+        "q_dml_roundtrip": R.q_dml_roundtrip,
+        # ANALYZE / sketch statistics (§2.9)
+        "q_approx_stats": R.q_approx_stats,
+        "q_histogram": R.q_histogram,
+        "q_heavy_hitters": T.q_heavy_hitters,
         # IR engine (north rule)
         "ir_term_stats": T.ir_term_stats,
         "ir_collection_stats": T.ir_collection_stats,

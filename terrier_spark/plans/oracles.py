@@ -256,6 +256,176 @@ GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
 
+ORACLES["q_theta_join"] = """
+SELECT a.s_suppkey AS sk1, b.s_suppkey AS sk2,
+       round(abs(a.s_acctbal - b.s_acctbal), 6)::DOUBLE AS bal_diff
+FROM supplier a
+JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND abs(a.s_acctbal - b.s_acctbal) < 1.0
+ORDER BY sk1, sk2
+"""
+
+ORACLES["q_range_band_join"] = """
+SELECT a.c_custkey AS ck1, b.c_custkey AS ck2,
+       round(abs(a.c_acctbal - b.c_acctbal), 6)::DOUBLE AS bal_diff
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(a.c_acctbal - b.c_acctbal) < 0.05
+ORDER BY ck1, ck2
+"""
+
+ORACLES["q_right_outer_join"] = """
+SELECT c_custkey,
+       count(o_orderkey) AS n_1995_orders,
+       coalesce(round(sum(o_totalprice), 6)::DOUBLE, 0.0) AS spent_1995
+FROM (SELECT * FROM orders WHERE year(o_orderdate) = 1995) o
+RIGHT JOIN customer ON o.o_custkey = c_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+ORACLES["q_full_outer_join"] = """
+WITH a AS (
+    SELECT c_nationkey, count(*) AS n_cust
+    FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+), b AS (
+    SELECT s_nationkey, count(*) AS n_supp
+    FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+)
+SELECT coalesce(a.c_nationkey, b.s_nationkey)::INTEGER AS nationkey,
+       coalesce(a.n_cust, 0) AS n_cust,
+       coalesce(b.n_supp, 0) AS n_supp
+FROM a FULL OUTER JOIN b ON a.c_nationkey = b.s_nationkey
+ORDER BY nationkey
+"""
+
+ORACLES["q_scalar_funcs"] = """
+SELECT o_orderkey,
+       trim('  ' || o_orderpriority || '  ') AS s_trim,
+       ltrim('  ' || o_orderpriority || '  ') AS s_ltrim,
+       rtrim('  ' || o_orderpriority || '  ') AS s_rtrim,
+       array_to_string(
+           list_transform(string_split(o_orderpriority, ' '),
+                          w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))),
+           ' ') AS s_initcap,
+       reverse(o_orderpriority) AS s_reverse,
+       split_part(o_orderpriority, '-', 2) AS s_split_part,
+       strpos(o_orderpriority, '-')::BIGINT AS s_position,
+       repeat(o_orderstatus, 3) AS s_repeat,
+       left(o_orderpriority, 3) AS s_left,
+       right(o_orderpriority, 3) AS s_right,
+       ascii(o_orderstatus)::BIGINT AS s_ascii,
+       chr(65 + (o_orderkey % 26)::INTEGER) AS s_chr,
+       dayofweek(o_orderdate)::BIGINT AS d_dow,
+       dayofyear(o_orderdate)::BIGINT AS d_doy,
+       weekofyear(o_orderdate)::BIGINT AS d_week,
+       month(o_orderdate)::BIGINT AS d_month,
+       dayofmonth(o_orderdate)::BIGINT AS d_day,
+       hour(o_orderdate)::BIGINT AS d_hour,
+       round(abs(o_totalprice - 100000.0), 6)::DOUBLE AS m_abs,
+       (o_orderkey % 7)::BIGINT AS m_mod,
+       round(pow(1.0001, (o_orderkey % 100)::DOUBLE), 6)::DOUBLE AS m_pow,
+       round(o_totalprice / 7.0, 2)::DOUBLE AS m_round,
+       round(sqrt(o_totalprice), 6)::DOUBLE AS m_sqrt,
+       round(cbrt(o_totalprice), 6)::DOUBLE AS m_cbrt,
+       ceil(o_totalprice / 1000.0)::BIGINT AS m_ceil,
+       floor(o_totalprice / 1000.0)::BIGINT AS m_floor,
+       round(exp(o_totalprice / 1000000.0), 6)::DOUBLE AS m_exp,
+       round(ln(o_totalprice), 6)::DOUBLE AS m_ln,
+       round(log10(o_totalprice), 6)::DOUBLE AS m_log10,
+       round(log2(o_totalprice), 6)::DOUBLE AS m_log2,
+       round(sin(o_totalprice / 100000.0), 6)::DOUBLE AS m_sin,
+       round(cos(o_totalprice / 100000.0), 6)::DOUBLE AS m_cos,
+       round(atan2(o_totalprice / 100000.0, 2.0), 6)::DOUBLE AS m_atan2,
+       sign(o_totalprice - 150000.0)::BIGINT AS m_sign
+FROM orders
+WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey
+"""
+
+ORACLES["q_result_const"] = """
+SELECT 1::BIGINT AS one,
+       (2 + 3)::BIGINT AS five,
+       'hello' AS greeting,
+       round(3.14 * 2, 6)::DOUBLE AS tau,
+       upper('abc') AS upper_abc
+"""
+
+ORACLES["q_csv_scan"] = """
+SELECT p_partkey, p_brand, p_size,
+       p_name || ',"' || p_brand || '"' AS tricky
+FROM part
+WHERE p_size > 40
+ORDER BY p_partkey
+"""
+
+ORACLES["q_dml_roundtrip"] = """
+WITH del AS (
+    SELECT * FROM supplier WHERE NOT coalesce(s_acctbal < 0, FALSE)
+), upd AS (
+    SELECT s_suppkey, s_name, s_nationkey,
+           CASE WHEN s_nationkey = 3
+                THEN round(s_acctbal * 1.1, 2)::DOUBLE
+                ELSE s_acctbal END AS s_acctbal
+    FROM del
+), ins AS (
+    SELECT s_suppkey + 10000 AS s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_acctbal > 9000
+)
+SELECT s_suppkey, s_name, s_nationkey,
+       round(s_acctbal, 6)::DOUBLE AS s_acctbal
+FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+ORDER BY s_suppkey
+"""
+
+ORACLES["q_approx_stats"] = """
+WITH s AS (
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           min(o_orderkey)::VARCHAR AS min_str, max(o_orderkey)::VARCHAR AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(DISTINCT o_custkey),
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(DISTINCT o_orderstatus),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(DISTINCT o_orderpriority),
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+)
+SELECT * FROM s ORDER BY col_name
+"""
+
+ORACLES["q_histogram"] = """
+WITH mm AS (
+    SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+), binned AS (
+    SELECT least(floor((o_totalprice - mm.lo) / (mm.hi - mm.lo) * 16),
+                 15)::BIGINT AS bin
+    FROM orders, mm WHERE o_totalprice IS NOT NULL
+), c AS (
+    SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
+), g AS (
+    SELECT unnest(range(0, 16)) AS bin, mm.lo, mm.hi FROM mm
+)
+SELECT g.bin,
+       round(g.lo + g.bin * ((g.hi - g.lo) / 16), 6)::DOUBLE AS bin_lo,
+       round(g.lo + (g.bin + 1) * ((g.hi - g.lo) / 16), 6)::DOUBLE AS bin_hi,
+       coalesce(c.cnt, 0) AS cnt
+FROM g LEFT JOIN c USING (bin)
+ORDER BY g.bin
+"""
+
 # ------------------------------------------------------------- IR / text
 
 ORACLES["ir_term_stats"] = f"""
@@ -340,6 +510,21 @@ ORACLES["ir_bm25_topk"] = _bm25_sql()
 # The WAND block path is rank-identical by construction — same oracle.
 ORACLES["ir_bm25_topk_wand"] = _bm25_sql()
 ORACLES["ir_bm25_topk_and"] = _bm25_and_sql()
+
+ORACLES["q_heavy_hitters"] = f"""
+WITH toks AS (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '{_TOK}'),
+                              x -> x <> '')) AS term
+    FROM documents
+), c AS (
+    SELECT term AS value, count(*) AS cnt FROM toks GROUP BY term
+)
+SELECT value, cnt,
+       row_number() OVER (ORDER BY cnt DESC, value) AS rank
+FROM c
+ORDER BY cnt DESC, value
+LIMIT 20
+"""
 
 ORACLES["text_token_counts"] = f"""
 SELECT doc_id,

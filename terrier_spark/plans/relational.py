@@ -355,6 +355,268 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) nested-loop join — the reference's NLJ
+    (nested_loop_join_translator.cpp:18-43, SimpleNestedLoopJoinTest
+    compiler_test.cpp:2126).  A pure inequality predicate gives Catalyst
+    a BroadcastNestedLoopJoin, which is exactly the reference's NLJ use
+    case (small inputs fused into one pipeline).  The 100 TB shape for
+    banded |x-y| predicates is q_range_band_join below."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("sk1"), F.col("s_acctbal").alias("bal1"))
+    b = s.select(F.col("s_suppkey").alias("sk2"), F.col("s_acctbal").alias("bal2"))
+    return (
+        a.join(
+            b,
+            (F.col("sk1") < F.col("sk2"))
+            & (F.abs(F.col("bal1") - F.col("bal2")) < F.lit(1.0)),
+        )
+        .select(
+            "sk1",
+            "sk2",
+            F.bround(F.abs(F.col("bal1") - F.col("bal2")), 6).alias("bal_diff"),
+        )
+        .orderBy("sk1", "sk2")
+    )
+
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join — the scale path for theta predicates of the
+    form |x - y| < eps: band = floor(x/eps); each left row probes only
+    its own and the two adjacent bands (equi-join on band + residual
+    filter), turning the O(n²) NLJ into a shuffle-bounded equi-join.
+    Each qualifying pair matches in exactly one (probe, build) band, so
+    no dedup is needed."""
+    eps = 0.05
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_acctbal").alias("bal"),
+        F.floor(F.col("c_acctbal") / eps).cast("long").alias("band"),
+    )
+    probe = base.select(
+        "ck",
+        "bal",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    )
+    build = base.select(
+        F.col("ck").alias("ck2"), F.col("bal").alias("bal2"), "band"
+    )
+    return (
+        probe.join(build, "band")
+        .filter(
+            (F.col("ck") < F.col("ck2"))
+            & (F.abs(F.col("bal") - F.col("bal2")) < F.lit(eps))
+        )
+        .select(
+            F.col("ck").alias("ck1"),
+            "ck2",
+            F.bround(F.abs(F.col("bal") - F.col("bal2")), 6).alias("bal_diff"),
+        )
+        .orderBy("ck1", "ck2")
+    )
+
+
+def q_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (plan_node_defs.h:99-110 join-type enum): every
+    customer survives even with no 1995 orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_1995_orders"),
+            F.coalesce(F.bround(F.sum("o_totalprice"), 6), F.lit(0.0)).alias(
+                "spent_1995"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation counts of rich customers vs suppliers
+    — both sides have nations the other lacks, so null handling on both
+    sides is exercised."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    a = c.groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    b = s.groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return (
+        a.join(b, a["c_nationkey"] == b["s_nationkey"], "full")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").cast("int").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth (§2.8): the reference's string
+    (string_functions.cpp), date-part (sql_def.h:8-36) and math
+    (arithmetic_functions.h) families as Spark built-ins, one column per
+    function, against the DuckDB equivalents."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    prio = F.col("o_orderpriority")
+    padded = F.concat(F.lit("  "), prio, F.lit("  "))
+    p = F.col("o_totalprice")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        # -- strings
+        F.trim(padded).alias("s_trim"),
+        F.ltrim(padded).alias("s_ltrim"),
+        F.rtrim(padded).alias("s_rtrim"),
+        F.initcap(prio).alias("s_initcap"),
+        F.reverse(prio).alias("s_reverse"),
+        F.split_part(prio, F.lit("-"), F.lit(2)).alias("s_split_part"),
+        F.instr(prio, "-").cast("long").alias("s_position"),
+        F.repeat(F.col("o_orderstatus"), 3).alias("s_repeat"),
+        F.expr("left(o_orderpriority, 3)").alias("s_left"),
+        F.expr("right(o_orderpriority, 3)").alias("s_right"),
+        F.ascii("o_orderstatus").cast("long").alias("s_ascii"),
+        F.expr("char(65 + o_orderkey % 26)").alias("s_chr"),
+        # -- date parts (Spark dayofweek is 1=Sun..7; DuckDB 0=Sun..6)
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("d_dow"),
+        F.dayofyear("o_orderdate").cast("long").alias("d_doy"),
+        F.weekofyear("o_orderdate").cast("long").alias("d_week"),
+        F.month("o_orderdate").cast("long").alias("d_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d_day"),
+        F.hour("o_orderdate").cast("long").alias("d_hour"),
+        # -- math
+        F.bround(F.abs(p - 100000.0), 6).alias("m_abs"),
+        (k % 7).cast("long").alias("m_mod"),
+        F.bround(F.pow(F.lit(1.0001), (k % 100).cast("double")), 6).alias("m_pow"),
+        F.round(p / 7.0, 2).alias("m_round"),
+        F.bround(F.sqrt(p), 6).alias("m_sqrt"),
+        F.bround(F.cbrt(p), 6).alias("m_cbrt"),
+        F.ceil(p / 1000.0).cast("long").alias("m_ceil"),
+        F.floor(p / 1000.0).cast("long").alias("m_floor"),
+        F.bround(F.exp(p / 1000000.0), 6).alias("m_exp"),
+        F.bround(F.log(p), 6).alias("m_ln"),
+        F.bround(F.log10(p), 6).alias("m_log10"),
+        F.bround(F.log2(p), 6).alias("m_log2"),
+        F.bround(F.sin(p / 100000.0), 6).alias("m_sin"),
+        F.bround(F.cos(p / 100000.0), 6).alias("m_cos"),
+        F.bround(F.atan2(p / 100000.0, F.lit(2.0)), 6).alias("m_atan2"),
+        F.signum(p - 150000.0).cast("long").alias("m_sign"),
+    ).orderBy("o_orderkey")
+
+
+def q_result_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-tuple Result node (§2.1 result_plan_node.h): SELECT
+    without FROM → spark.range(1).select(literals)."""
+    return spark.range(1).select(
+        F.lit(1).cast("long").alias("one"),
+        (F.lit(2) + F.lit(3)).cast("long").alias("five"),
+        F.lit("hello").alias("greeting"),
+        F.bround(F.lit(3.14) * 2, 6).alias("tau"),
+        F.upper(F.lit("abc")).alias("upper_abc"),
+    )
+
+
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSVScan with delimiter/quote/escape (§2.1 csv_scan_plan_node.h:
+    30-84, csv_reader.cpp): round-trip the part table through CSV with
+    a synthesized column that CONTAINS the delimiter and quote chars,
+    then read back with an explicit schema and the same options.  The
+    driver-checked result is computed from the re-read CSV, so the
+    delimiter/quote/escape handling is what's actually verified."""
+    import os
+    import tempfile
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_size",
+        F.concat(F.col("p_name"), F.lit(',"'), F.col("p_brand"), F.lit('"')).alias(
+            "tricky"
+        ),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ts_csv_"), "part_csv")
+    (
+        p.write.mode("overwrite")
+        .options(header=True, sep=",", quote='"', escape='"')
+        .csv(path)
+    )
+    schema = "p_partkey long, p_name string, p_brand string, p_size int, tricky string"
+    back = spark.read.options(header=True, sep=",", quote='"', escape='"').schema(
+        schema
+    ).csv(path)
+    return (
+        back.filter(F.col("p_size") > 40)
+        .select("p_partkey", "p_brand", "p_size", "tricky")
+        .orderBy("p_partkey")
+    )
+
+
+def q_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert / Update / Delete end-to-end (§2.1 insert/update/delete
+    translators): copy supplier to a scratch parquet table, DELETE the
+    negative balances, UPDATE nation-3 balances by 10%, INSERT
+    high-balance clones shifted by +10000, and return the final table —
+    the oracle replays the same algebra over the base table."""
+    import os
+    import tempfile
+
+    from terrier_spark.sources import dml
+
+    s = load_table(spark, sf_dir, "supplier")
+    path = os.path.join(tempfile.mkdtemp(prefix="ts_dml_"), "t")
+    dml.create_table(s, path)
+    dml.delete_where(spark, path, F.col("s_acctbal") < 0)
+    dml.update_where(
+        spark,
+        path,
+        F.col("s_nationkey") == 3,
+        {"s_acctbal": F.round(F.col("s_acctbal") * 1.1, 2)},
+    )
+    clones = s.filter(F.col("s_acctbal") > 9000).select(
+        (F.col("s_suppkey") + 10000).alias("s_suppkey"),
+        "s_name",
+        "s_nationkey",
+        "s_acctbal",
+    )
+    dml.insert_into(spark, path, clones)
+    t = spark.read.parquet(path)
+    return t.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.bround("s_acctbal", 6).alias("s_acctbal"),
+    ).orderBy("s_suppkey")
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE statistics (§2.9 analyze_translator.cpp → pg_statistic):
+    exact per-column (n_rows, n_distinct, n_nulls, min, max).  The
+    sketch-backed variants (HLL ndv via approx_count_distinct, Count-Min
+    heavy hitters) are hash-seeded and verified by their error
+    guarantees in tests/test_sketch.py; this entry keeps the driver
+    oracle exact."""
+    from terrier_spark.operators import sketch
+
+    o = load_table(spark, sf_dir, "orders")
+    return sketch.column_stats(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (§2.4 HistogramAggregate aggregators.h:469):
+    16 exact bins over o_totalprice, zero-filled."""
+    from terrier_spark.operators import sketch
+
+    o = load_table(spark, sf_dir, "orders")
+    return sketch.equi_width_histogram(o, "o_totalprice", bins=16)
+
+
 def spark_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
     for t in names:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -83,6 +83,17 @@ def ir_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "score")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 most frequent terms (§2.4 TopKAggregate,
+    aggregators.h:372-380) — the heavy-hitter pass that feeds the
+    hot-term salting decision (SURVEY.md §7.6)."""
+    from terrier_spark.operators import sketch
+
+    d = _docs(spark, sf_dir)
+    pairs = explode_terms(d, text_col="text", id_col="doc_id")
+    return sketch.heavy_hitters(pairs, "term", k=20)
+
+
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
