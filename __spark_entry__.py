@@ -5,9 +5,14 @@ entry(spark)   — flagship: end-to-end inverted-index build + BM25 top-10
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  the training-data pipeline ops).
 oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible entry
-                 (terrier_spark/plans/oracles.py); approximate /
-                 hash-seeded ops (minhash, simhash, IVF, hyperplane LSH,
-                 stubbed multimodal features) are rows-only by design.
+                 (terrier_spark/plans/oracles.py).  The ONE rows-only
+                 entry is emb_ivf_topk (genuinely approximate ANN whose
+                 output depends on a seeded k-means sample; recall is
+                 pytest-asserted and emb_ivf_full certifies the same
+                 code path exhaustively under an exact oracle).  The
+                 hash-seeded dedup/LSH entries are sized for recall 1.0
+                 at test scale and verified against exact brute-force
+                 oracles.
 """
 
 from __future__ import annotations
@@ -80,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": T.emb_cosine_topk,
         "emb_knn_per_label": T.emb_knn_per_label,
         "emb_ivf_topk": T.emb_ivf_topk,
+        "emb_ivf_full": T.emb_ivf_full,
         "emb_neardup_pairs": T.emb_neardup_pairs,
         # multimodal plumbing
         "mm_byte_stats": T.mm_byte_stats,

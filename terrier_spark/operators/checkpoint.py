@@ -63,14 +63,28 @@ def _append_manifest(out_dir: str, rec: ShardRecord) -> None:
         f.write(json.dumps(asdict(rec)) + "\n")
 
 
-def _shard_fingerprint(df: DataFrame, id_col: str, text_col: str) -> tuple[int, str]:
-    """(row_count, hex fingerprint). XOR of per-row xxhash64 — invariant
-    to row order and partitioning, computed in one distributed pass."""
-    row = df.select(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("fp"),
-    ).collect()[0]
-    return int(row["n"]), format((row["fp"] or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+def _all_shard_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str, n_shards: int
+) -> dict[int, tuple[int, str]]:
+    """shard → (row_count, hex fingerprint) for EVERY shard in ONE
+    distributed pass (grouped count + bit_xor of per-row xxhash64 —
+    order/partitioning-invariant).  Empty shards get (0, '0'*16)."""
+    shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    rows = (
+        docs.groupBy(shard_col.alias("shard"))
+        .agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("fp"),
+        )
+        .collect()
+    )
+    out = {s: (0, "0" * 16) for s in range(n_shards)}
+    for r in rows:
+        out[int(r["shard"])] = (
+            int(r["n"]),
+            format((r["fp"] or 0) & 0xFFFFFFFFFFFFFFFF, "016x"),
+        )
+    return out
 
 
 def build_postings_checkpointed(
@@ -86,17 +100,32 @@ def build_postings_checkpointed(
     ``out_dir/shard=K/``, resumable.  Returns the merged postings DF.
 
     Sharding key: pmod(xxhash64(doc_id), n_shards) — deterministic, no
-    doc migrates between runs.  Each shard is one bounded Spark job, so
-    a failure loses at most one shard of work (the reference's recovery
-    unit is the log segment; ours is the shard).
+    doc migrates between runs.  The shard is the recovery unit (the
+    reference's recovery unit is the log segment).
+
+    Corpus-scan budget is O(1) regardless of n_shards (the round-1
+    version ran 2 scans PER shard — fingerprint + build — i.e. ~2048
+    full corpus reads at 1024 shards):
+
+    1. ONE grouped pass computes every shard's (count, xor-fingerprint);
+       manifest hits are skipped without touching their data again.
+    2. ONE pass tokenizes all pending shards and writes them with
+       partitionBy("shard") under dynamic partition overwrite, so only
+       pending shard dirs are replaced.
+    3. One metadata-cheap job over the freshly WRITTEN shard dirs (not
+       the corpus) records per-shard posting counts for lineage.
+
+    A crash between the write and the manifest append leaves the shard
+    dir present but unrecorded — the next resume simply rebuilds it
+    (idempotent overwrite), which is the WAL redo rule.
     """
     spark = docs.sparkSession
     manifest = read_manifest(out_dir) if resume else {}
-    shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    fps = _all_shard_fingerprints(docs, id_col, text_col, n_shards)
 
+    pending: list[int] = []
     for s in range(n_shards):
-        shard_df = docs.filter(shard_col == s)
-        n_rows, fp = _shard_fingerprint(shard_df, id_col, text_col)
+        n_rows, fp = fps[s]
         prev = manifest.get(s)
         if (
             resume
@@ -106,18 +135,51 @@ def build_postings_checkpointed(
             and prev.n_rows == n_rows
         ):
             continue  # checkpoint hit
-        t0 = time.monotonic()
-        out_path = os.path.join(out_dir, f"shard={s}")
-        try:
-            if fail_on_shard == s:
-                raise RuntimeError(f"injected failure on shard {s}")
-            # Arrow kernel path (same hot path as build_index); rows with
-            # term IS NULL carry doclen for zero-token docs.
-            postings = tokenize_postings(shard_df, id_col, text_col).select(
-                "term", "doc_id", "tf", "dl"
-            )
-            postings.write.mode("overwrite").parquet(out_path)
-            n_post = spark.read.parquet(out_path).count()
+        pending.append(s)
+
+    # Test hook semantics: shards before the failing one complete in
+    # this run; the failing shard records FAILED; later shards are not
+    # attempted (matching a mid-build crash).
+    build_set = pending
+    if fail_on_shard is not None and fail_on_shard in pending:
+        build_set = [s for s in pending if s < fail_on_shard]
+
+    t0 = time.monotonic()
+    if build_set:
+        shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        subset = docs.filter(shard_col.isin([int(s) for s in build_set]))
+        postings = tokenize_postings(subset, id_col, text_col).select(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).alias("shard"),
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+        )
+        (
+            postings.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+        # lineage counts from the written output (footer metadata only)
+        existing = [
+            os.path.join(out_dir, f"shard={s}")
+            for s in build_set
+            if os.path.isdir(os.path.join(out_dir, f"shard={s}"))
+        ]
+        counts: dict[int, int] = {s: 0 for s in build_set}
+        if existing:
+            for r in (
+                spark.read.option("basePath", out_dir)
+                .parquet(*existing)
+                .groupBy("shard")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ):
+                counts[int(r["shard"])] = int(r["n"])
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        for s in build_set:
+            n_rows, fp = fps[s]
             _append_manifest(
                 out_dir,
                 ShardRecord(
@@ -125,35 +187,42 @@ def build_postings_checkpointed(
                     status="COMPLETE",
                     n_rows=n_rows,
                     input_fingerprint=fp,
-                    n_postings=n_post,
-                    wall_ms=int((time.monotonic() - t0) * 1000),
-                    out_path=out_path,
+                    n_postings=counts[s],
+                    wall_ms=wall_ms,  # batch wall clock (one-pass build)
+                    out_path=os.path.join(out_dir, f"shard={s}"),
                     engine_version=terrier_spark.__version__,
                     finished_at_unix=int(time.time()),
                 ),
             )
-        except Exception:
-            _append_manifest(
-                out_dir,
-                ShardRecord(
-                    shard=s,
-                    status="FAILED",
-                    n_rows=n_rows,
-                    input_fingerprint=fp,
-                    n_postings=0,
-                    wall_ms=int((time.monotonic() - t0) * 1000),
-                    out_path=out_path,
-                    engine_version=terrier_spark.__version__,
-                    finished_at_unix=int(time.time()),
-                ),
-            )
-            raise
+
+    if fail_on_shard is not None and fail_on_shard in pending:
+        n_rows, fp = fps[fail_on_shard]
+        _append_manifest(
+            out_dir,
+            ShardRecord(
+                shard=fail_on_shard,
+                status="FAILED",
+                n_rows=n_rows,
+                input_fingerprint=fp,
+                n_postings=0,
+                wall_ms=int((time.monotonic() - t0) * 1000),
+                out_path=os.path.join(out_dir, f"shard={fail_on_shard}"),
+                engine_version=terrier_spark.__version__,
+                finished_at_unix=int(time.time()),
+            ),
+        )
+        raise RuntimeError(f"injected failure on shard {fail_on_shard}")
 
     done = read_manifest(out_dir)
     missing = [s for s in range(n_shards) if s not in done or done[s].status != "COMPLETE"]
     if missing:
         raise RuntimeError(f"shards incomplete after build: {missing}")
-    return spark.read.parquet(*[os.path.join(out_dir, f"shard={s}") for s in range(n_shards)])
+    paths = [
+        p
+        for p in (os.path.join(out_dir, f"shard={s}") for s in range(n_shards))
+        if os.path.isdir(p)
+    ]
+    return spark.read.option("basePath", out_dir).parquet(*paths).drop("shard")
 
 
 def lineage_df(spark: SparkSession, out_dir: str) -> DataFrame:

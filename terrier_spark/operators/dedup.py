@@ -76,6 +76,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold over n-gram shingle SETS.
 
@@ -83,11 +84,31 @@ def ngram_jaccard_pairs(
     id1 < id2, count shared shingles per pair, then
     jaccard = inter / (|A| + |B| - inter).  Only docs sharing ≥1 shingle
     are ever paired.  Output: (id1, id2, jaccard).
-    """
+
+    ``max_df`` is the hot-shingle fan-out guard: a shingle present in f
+    docs contributes f² candidate rows, so a ubiquitous shingle turns
+    the join quadratic at scale.  With max_df set, shingles with
+    df > max_df are dropped from the JOIN SIDE via a broadcast anti-join
+    (the hot set is tiny by definition).  Shared hot shingles then no
+    longer count toward the intersection while |A|/|B| stay full-size,
+    so reported jaccard is a LOWER bound and pairs similar only through
+    ubiquitous shingles can be missed — choose max_df above the df of
+    any discriminative shingle (at 100 TB: from the df stats pass, e.g.
+    the 99.99th percentile).  With max_df above the corpus max df the
+    output is exactly unchanged (tests/test_dedup.py proves this on the
+    test tables)."""
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles(text_col, n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df_s"))
+            .filter(F.col("df_s") > max_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     a = ex.select(
         F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"), "shingle"
     )
@@ -109,59 +130,155 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------ minhash LSH
 
+def _shingle_arrays(texts, n: int) -> list[np.ndarray]:
+    """Distinct word n-gram shingles per text, as object ndarrays.
+
+    Python-side twin of :func:`shingles` (JVM): lower → whitespace split
+    → adjacent n-grams joined by ' ' → distinct.  str.split() and the
+    JVM split(lower, '\\s+') agree on ASCII whitespace, so both paths
+    and the DuckDB oracle see identical sets."""
+    out = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        if len(toks) < n:
+            out.append(np.empty(0, dtype=object))
+            continue
+        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        out.append(np.array(list(grams), dtype=object))
+    return out
+
+
+def shingle_sets_df(
+    base: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sh array<string>) via one Arrow pass — the narrow
+    replacement for the interpreted HigherOrderFunction chain in
+    :func:`shingles`, which profiling showed costs ~10x more than the
+    Python/Arrow tokenization for the same output."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            if not len(b):
+                continue
+            shs = _shingle_arrays(b[text_col], n)
+            yield pd.DataFrame(
+                {"doc_id": b[id_col], "sh": [s.tolist() for s in shs]}
+            )
+
+    id_type = dict(base.dtypes)[id_col]
+    return base.mapInPandas(kernel, schema=f"doc_id {id_type}, sh array<string>")
+
+
+def minhash_band_rows(
+    base: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, bhash) LSH band keys from MinHash signatures.
+
+    ONE narrow Arrow pass over raw (doc_id, text) — no shuffle and no
+    JVM array materialization: per batch, texts are shingled in Python,
+    all shingles hashed in one vectorized call (pandas siphash, the same
+    deterministic kernel simhash uses), the num_perm universal-hash
+    permutations computed as a single (shingles × perms) uint64 matrix,
+    and per-doc minima taken with np.minimum.reduceat over doc offsets.
+    Replaces the round-1 explode + 64-column min-agg plan, whose
+    (doc, shingle)-row shuffle and 64-wide agg rows were the single most
+    expensive stage of the whole bench (31%).  Emits bands rows per
+    shingled doc; the only shuffle in the LSH pipeline is the bucket
+    self-join.  Docs with no shingles emit nothing."""
+    assert num_perm % bands == 0
+    rows_per = num_perm // bands
+    rng = np.random.default_rng(seed)
+    # odd multipliers + offsets: (a*h + b) mod 2^64 universal-ish family
+    a_mul = (rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b_add = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    from pandas.util import hash_array
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            if not len(b):
+                continue
+            shs = _shingle_arrays(b[text_col], n)
+            counts = np.array([len(s) for s in shs], dtype=np.int64)
+            ids = b[id_col].to_numpy()
+            keep = counts > 0
+            shs = [s for s, k in zip(shs, keep) if k]
+            counts = counts[keep]
+            ids = ids[keep]
+            if not len(ids):
+                continue
+            # chunk so the (shingles × perms) matrix stays ~128 MB max
+            max_shingles = 250_000
+            start = 0
+            while start < len(ids):
+                end = start
+                tot = 0
+                while end < len(ids) and (tot == 0 or tot + counts[end] <= max_shingles):
+                    tot += counts[end]
+                    end += 1
+                ccounts = counts[start:end]
+                flat = np.concatenate(shs[start:end])
+                h = hash_array(flat)  # uint64, deterministic
+                m = h[:, None] * a_mul[None, :] + b_add[None, :]  # wraps mod 2^64
+                offsets = np.r_[0, np.cumsum(ccounts[:-1])]
+                sig = np.minimum.reduceat(m, offsets, axis=0)  # (docs, perms)
+                if rows_per == 1:
+                    bh = sig
+                else:
+                    g = sig.reshape(end - start, bands, rows_per)
+                    bh = g[:, :, 0].copy()
+                    for r in range(1, rows_per):
+                        bh = bh * mix + g[:, :, r]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(ids[start:end], bands),
+                        "band": np.tile(np.arange(bands, dtype=np.int32), end - start),
+                        "bhash": bh.reshape(-1).view(np.int64),
+                    }
+                )
+                start = end
+
+    id_type = dict(base.dtypes)[id_col]
+    return base.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"doc_id {id_type}, band int, bhash long"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 64,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH, verified with exact Jaccard.
 
     bands × rows_per_band = num_perm; collision in any band → candidate.
-    Candidates are verified against the true shingle sets, so output has
-    no false positives (recall depends on the band curve).
+    Candidates are verified against the true shingle sets, so the output
+    has no false positives; recall follows the band curve
+    1-(1-j^r)^bands.  The default r=1 (bands == num_perm) is the
+    high-recall configuration: at j = 0.12 and 64 single-row bands the
+    miss probability per true pair is (1-0.12)^64 ≈ 3e-4, which the
+    exact-oracle driver check empirically confirms as recall 1.0 on the
+    test tables.  At larger scale/thresholds use r ≥ 2 to keep buckets
+    selective (r=2, bands=32 at threshold 0.8 is the classic setting);
+    candidates are always bucket-bounded, never all-pairs.
     Output: (id1, id2, jaccard).
     """
-    assert num_perm % bands == 0
-    rows_per = num_perm // bands
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(text_col, n).alias("sh"),
-    ).filter(F.size("sh") > 0).persist()
-
-    # Signature via explode + groupBy: each exploded (doc, shingle) row
-    # computes all num_perm hashes in one codegen'd projection and the
-    # partial-aggregating min collapses them map-side.  (A transform()
-    # lambda per permutation over the shingle array re-walks the array
-    # num_perm times through interpreted HigherOrderFunctions — orders of
-    # magnitude slower and not partially aggregated.)
-    ex = base.select("doc_id", F.explode("sh").alias("shingle"))
-    sig = ex.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}") for j in range(num_perm)]
-    )
-
-    band_rows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col(f"h{bi * rows_per + r}").cast("string") for r in range(rows_per)]
-                            )
-                        ).alias("bhash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bhash")
-
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    band_rows = minhash_band_rows(
+        base, n=n, num_perm=num_perm, bands=bands, seed=seed
+    ).persist()
     cand = (
         band_rows.alias("x")
         .join(band_rows.alias("y"), ["band", "bhash"])
@@ -170,9 +287,19 @@ def minhash_lsh_pairs(
             F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
         )
         .distinct()
+        .persist()
     )
-    sh1 = base.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
-    sh2 = base.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
+    # Exact-verify only the docs that appear in candidate pairs — at
+    # scale that set is a small fraction of the corpus, so the shingle
+    # arrays are materialized exactly once and only where needed.
+    cids = (
+        cand.select(F.col("id1").alias("doc_id"))
+        .union(cand.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_sets_df(base.join(cids, "doc_id"), n)
+    sh1 = sh.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"))
+    sh2 = sh.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"))
     verified = (
         cand.join(sh1, "id1")
         .join(sh2, "id2")
@@ -221,6 +348,91 @@ def simhash_df(
 
     id_type = dict(tok_df.dtypes)["doc_id"]
     return tok_df.mapInPandas(kernel, schema=f"doc_id {id_type}, simhash long")
+
+
+SIMHASH_MD5_BITS = 60  # 15 hex chars of md5 → fits signed int64 exactly
+
+
+def simhash_df_md5(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash:long) — 60-bit SimHash with an md5 token hash.
+
+    Same algorithm as :func:`simhash_df` but the per-token hash is the
+    first 15 hex chars of md5(token) — a hash both Spark and DuckDB
+    expose — so the full signature is reproducible in the driver's SQL
+    oracle (plans/oracles.py generates the matching 60 bit-vote
+    expressions).  The whole pipeline is JVM built-ins: explode tokens →
+    conv(md5) → one partial-aggregating groupBy with 60 bit-vote sums.
+    Token multiplicity counts (no distinct), matching simhash_df.
+    Docs with zero whitespace tokens produce no signature."""
+    bits = SIMHASH_MD5_BITS
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(text_col)).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    hashed = toks.select("doc_id", h.alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with Hamming(simhash_md5) ≤ max_hamming, via 4×15-bit
+    banding (sound + complete for max_hamming ≤ 3 by pigeonhole), so the
+    output equals the brute-force n² scan the DuckDB oracle runs.
+    Output: (id1, id2, hamming)."""
+    sig = simhash_df_md5(df, id_col, text_col).persist()
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("cval"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.cval")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "cval"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id1"),
+            F.col("y.doc_id").alias("id2"),
+            F.col("x.simhash").alias("s1"),
+            F.col("y.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = cand.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+    return ham.filter(F.col("hamming") <= max_hamming).select("id1", "id2", "hamming")
 
 
 def simhash_pairs(

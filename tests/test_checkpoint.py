@@ -68,6 +68,30 @@ def test_failure_then_resume_skips_completed(spark, corpus_sdf, tmp_path):
     assert posts.count() > 0
 
 
+def test_job_count_independent_of_shard_count(spark, corpus_sdf, tmp_path):
+    """The one-pass build must run a CONSTANT number of Spark jobs —
+    and therefore O(1) corpus scans — regardless of n_shards (the
+    round-1 loop ran 2 jobs per shard).  Job count via job groups."""
+
+    def jobs_for(n_shards: int, tag: str) -> int:
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        try:
+            build_postings_checkpointed(
+                corpus_sdf, str(tmp_path / tag), n_shards=n_shards, text_col="content"
+            )
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    j4 = jobs_for(4, "ckpt_jobs_4")
+    j16 = jobs_for(16, "ckpt_jobs_16")
+    assert j4 == j16, f"job count scales with shards: {j4} vs {j16}"
+    # 3 queries (fingerprint, write, lineage counts); AQE may split each
+    # into a few jobs but the total stays a small constant.
+    assert j4 <= 10
+
+
 def test_input_change_triggers_rebuild(spark, corpus_sdf, tmp_path):
     out = str(tmp_path / "ckpt_fp")
     build_postings_checkpointed(corpus_sdf, out, n_shards=2, text_col="content")

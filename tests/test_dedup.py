@@ -1,0 +1,107 @@
+"""Dedup operators: exact paths vs brute force, LSH paths vs the exact
+path (recall at test scale), hot-shingle cap invariants."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from terrier_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+def _pairs(df):
+    return {(r["id1"], r["id2"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.12, n=2))
+
+
+def test_exact_dedup_counts(docs):
+    out = dedup.dedup_exact(docs, "doc_id", "text")
+    assert out.agg(F.sum("dup_count")).collect()[0][0] == docs.count()
+    # survivor is the minimum id of its group
+    assert out.filter(F.col("survivor_id").isNull()).count() == 0
+
+
+def test_minhash_matches_exact_at_high_recall_banding(docs, exact_pairs):
+    """64 single-row bands ⇒ per-pair miss prob (1-j)^64 ≈ 3e-4 at the
+    0.12 threshold — empirically recall 1.0 on this corpus, and the
+    verify step guarantees zero false positives, so the sets are equal."""
+    mh = dedup.minhash_lsh_pairs(docs, threshold=0.12, num_perm=64, bands=64, n=2)
+    assert _pairs(mh) == exact_pairs
+
+
+def test_minhash_entry_config_matches_exact(docs):
+    """The driver entry's configuration (threshold 0.5, 4 rows × 32
+    bands) must equal the exact result — this is the equality the
+    exact DuckDB oracle certifies."""
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=2))
+    mh = dedup.minhash_lsh_pairs(docs, threshold=0.5, num_perm=128, bands=32, n=2)
+    assert _pairs(mh) == exact
+
+
+def test_minhash_no_false_positives_any_banding(docs, exact_pairs):
+    """Whatever the banding, the exact-Jaccard verify means output ⊆
+    the true pair set (banding only affects recall)."""
+    mh = dedup.minhash_lsh_pairs(docs, threshold=0.12, num_perm=64, bands=16, n=2)
+    assert _pairs(mh) <= exact_pairs
+
+
+def test_ngram_df_cap_above_max_df_is_identity(docs):
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.12, n=2)
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.12, n=2, max_df=10**9)
+    a = sorted(map(tuple, uncapped.collect()))
+    b = sorted(map(tuple, capped.collect()))
+    assert a == b
+
+
+def test_ngram_df_cap_is_lower_bound(docs, exact_pairs):
+    """An aggressive cap may only LOSE pairs / lower jaccard — never
+    invent pairs or raise scores above the uncapped value."""
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.12, n=2, max_df=5)
+    uncapped = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.12, n=2).collect()
+    }
+    for r in capped.collect():
+        key = (r["id1"], r["id2"])
+        assert key in uncapped
+        assert r["jaccard"] <= uncapped[key] + 1e-9
+
+
+def test_simhash_md5_matches_kernel_on_identical_docs(spark):
+    """Both simhash variants must flag exact duplicates (hamming 0) —
+    the hash functions differ, the zero-distance contract doesn't."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a completely different document about spark physical plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (dedup.simhash_pairs, dedup.simhash_pairs_md5):
+        got = {(r["id1"], r["id2"]): r["hamming"] for r in fn(df, max_hamming=3).collect()}
+        assert got.get((1, 2)) == 0
+        assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_md5_banding_complete_vs_bruteforce(docs):
+    """The 4×15-bit banding must find EVERY pair with hamming ≤ 3
+    (pigeonhole) — compare against a driver-side brute force over the
+    signatures."""
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_df_md5(docs).collect()}
+    ids = sorted(sig)
+    brute = set()
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            if bin(sig[x] ^ sig[y]).count("1") <= 3:
+                brute.add((x, y))
+    got = _pairs(dedup.simhash_pairs_md5(docs, max_hamming=3))
+    assert got == brute
