@@ -73,13 +73,18 @@ def py_tokenize_iter(texts: Iterator[str]) -> Iterator[list[str]]:
 ARROW_SLICE_DOCS = 2048
 
 
-def tokenize_count_slice(content):
+def tokenize_count_slice(content, stem: bool = False):
     """Tokenize + per-doc term-frequency aggregation for ONE content
     array slice (the shared Arrow hot-path core):
 
       utf8_lower → split_pattern_regex (RE2) → list_flatten
       → dictionary_encode (term → int32 code, no Python strings)
       → Arrow hash group_by on (doc index, code) → tf
+
+    With ``stem=True`` the Porter-lite stemmer (functions/stem.py) is
+    applied to the VOCAB (once per distinct term), codes are remapped,
+    and (doc, stemmed-code) pairs re-aggregated — doc lengths keep the
+    raw token count (stemming merges terms, it doesn't delete tokens).
 
     Returns (u_doc, u_code, tf, dl, vocab): one entry per distinct
     (doc, term) pair (u_doc indexes into the slice), per-doc token
@@ -114,6 +119,18 @@ def tokenize_count_slice(content):
     u_doc = agg.column("d").to_numpy(zero_copy_only=False)
     u_code = agg.column("c").to_numpy(zero_copy_only=False)
     tf = agg.column("count_all").to_numpy(zero_copy_only=False)
+    if stem and len(vocab):
+        from terrier_spark.functions.stem import stem_vocab_codes
+
+        vocab, code_map = stem_vocab_codes(vocab)
+        agg2 = (
+            pa.table({"d": u_doc, "c": code_map[u_code], "tf": tf})
+            .group_by(["d", "c"], use_threads=False)
+            .aggregate([("tf", "sum")])
+        )
+        u_doc = agg2.column("d").to_numpy(zero_copy_only=False)
+        u_code = agg2.column("c").to_numpy(zero_copy_only=False)
+        tf = agg2.column("tf_sum").to_numpy(zero_copy_only=False)
     return u_doc, u_code, tf, dl, vocab
 
 
@@ -122,6 +139,7 @@ def tokenize_postings(
     id_col: str = "doc_id",
     text_col: str = "content",
     docno_ids_bc=None,
+    stem: bool = False,
 ) -> DataFrame:
     """(doc_id, term, tf, dl) pre-aggregated per document, via mapInArrow.
 
@@ -164,7 +182,7 @@ def tokenize_postings(
 
     def _emit(doc_ids: pa.Array, content: pa.Array) -> pa.RecordBatch:
         n = len(content)
-        u_doc, u_code, tf, dl, vocab = tokenize_count_slice(content)
+        u_doc, u_code, tf, dl, vocab = tokenize_count_slice(content, stem=stem)
         if docno_ids_bc is not None:
             docnos = _ids_to_docnos(doc_ids)
             out_id = pa.array(np.concatenate([docnos[u_doc], docnos]))

@@ -75,6 +75,7 @@ class InvertedIndex:
     num_tokens: int
     avgdl: float
     bucket_span: int
+    stem: bool = False        # Porter-lite vocab stemming was applied
 
 
 def assign_docnos(ids: DataFrame) -> tuple[DataFrame, int]:
@@ -359,7 +360,7 @@ def _pidx_expr(dtype: str, parts: int, lo: int | None = None, hi: int | None = N
     )
 
 
-def _aligned_kernel(offsets: dict[int, int], span: int):
+def _aligned_kernel(offsets: dict[int, int], span: int, stem: bool = False):
     """mapInArrow kernel over ONE hash partition of (doc_id, content,
     pidx) rows: buffer the partition's rows grouped by pidx (Arrow
     columnar — compact, no JVM row materialization), C++-sort each pidx
@@ -398,7 +399,7 @@ def _aligned_kernel(offsets: dict[int, int], span: int):
             while done < n:
                 to_boundary = span - (next_docno % span)
                 take = min(to_boundary, ARROW_SLICE_DOCS, n - done)
-                rb_out = _encode_bucket_chunk(tbl.slice(done, take), next_docno, span)
+                rb_out = _encode_bucket_chunk(tbl.slice(done, take), next_docno, span, stem=stem)
                 next_docno += take
                 done += take
                 if rb_out is not None:
@@ -407,7 +408,7 @@ def _aligned_kernel(offsets: dict[int, int], span: int):
     return kernel
 
 
-def _encode_bucket_chunk(tbl, start_docno: int, span: int):
+def _encode_bucket_chunk(tbl, start_docno: int, span: int, stem: bool = False):
     """Tokenize + aggregate + block-encode one single-bucket doc chunk.
     docno of row i = start_docno + i (rows are doc_id-sorted within the
     pidx run, so this IS the global rank).  Returns None if the chunk
@@ -419,7 +420,7 @@ def _encode_bucket_chunk(tbl, start_docno: int, span: int):
     content = tbl.column(1)
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
-    u_doc, u_code, tf, dl, vocab = tokenize_count_slice(content)
+    u_doc, u_code, tf, dl, vocab = tokenize_count_slice(content, stem=stem)
     if len(u_doc) == 0:
         return None
     docno = start_docno + u_doc.astype(np.int64)
@@ -515,6 +516,7 @@ def _build_index_aligned(
     text_col: str,
     target_buckets: int | None,
     cache: bool,
+    stem: bool = False,
 ) -> InvertedIndex | None:
     """Partition-aligned build: ONE shuffle of the corpus content, then
     everything — docno assignment, tokenization, per-doc tf aggregation,
@@ -573,7 +575,7 @@ def _build_index_aligned(
         .repartition(parts, "pidx")
         .select("doc_id", "content", "pidx")
     )
-    blocks = ranged.mapInArrow(_aligned_kernel(offsets, span), BLOCK_SCHEMA)
+    blocks = ranged.mapInArrow(_aligned_kernel(offsets, span, stem), BLOCK_SCHEMA)
     if cache:
         blocks = blocks.persist()
         blocks.count()
@@ -593,7 +595,7 @@ def _build_index_aligned(
     docmap = ranged.select("doc_id", "pidx").mapInArrow(
         _docmap_kernel(offsets, "doc_id"), f"doc_id {id_type}, docno long"
     )
-    kernel_out = tokenize_postings(docs, id_col, text_col)  # lazy, tests only
+    kernel_out = tokenize_postings(docs, id_col, text_col, stem=stem)  # lazy, tests only
     doclens = kernel_out.filter(F.col("term").isNull()).select(
         "doc_id", F.col("dl").alias("doclen")
     )
@@ -607,6 +609,7 @@ def _build_index_aligned(
         num_tokens=num_tokens,
         avgdl=avgdl,
         bucket_span=span,
+        stem=stem,
     )
 
 
@@ -617,6 +620,7 @@ def build_index(
     target_buckets: int | None = None,
     cache: bool = True,
     strategy: str = "aligned",
+    stem: bool = False,
 ) -> InvertedIndex:
     """End-to-end build. Input: any (id, text) DataFrame.
 
@@ -644,7 +648,7 @@ def build_index(
     kernel.  Collection stats come for free: num_docs from the docno
     pass, num_tokens = Σ cf over the (compact) lexicon."""
     if strategy == "aligned":
-        idx = _build_index_aligned(docs, id_col, text_col, target_buckets, cache)
+        idx = _build_index_aligned(docs, id_col, text_col, target_buckets, cache, stem)
         if idx is not None:
             return idx
         # ids not alignable — fall through to the shuffle strategy
@@ -670,12 +674,12 @@ def build_index(
         ids = [r["doc_id"] for r in docmap.select("doc_id").collect()]
         arr = np.sort(np.asarray(ids))
         bc = docs.sparkSession.sparkContext.broadcast(arr)
-        kernel_out = tokenize_postings(docs, id_col, text_col, docno_ids_bc=bc)
+        kernel_out = tokenize_postings(docs, id_col, text_col, docno_ids_bc=bc, stem=stem)
         post = kernel_out.filter(F.col("term").isNotNull()).select(
             "term", "docno", "tf", "dl"
         )
     else:
-        kernel_out = tokenize_postings(docs, id_col, text_col)
+        kernel_out = tokenize_postings(docs, id_col, text_col, stem=stem)
         post = postings_df(kernel_out, docmap, num_docs)
     blocks, span = blocks_df(post, num_docs, target_buckets)
     if cache:
@@ -713,6 +717,7 @@ def build_index(
         num_tokens=num_tokens,
         avgdl=avgdl,
         bucket_span=span,
+        stem=stem,
     )
 
 
@@ -737,6 +742,7 @@ def write_index(index: InvertedIndex, out_dir: str) -> None:
                 "num_tokens": index.num_tokens,
                 "avgdl": index.avgdl,
                 "bucket_span": index.bucket_span,
+                "stem": index.stem,
             },
             f,
         )
@@ -758,4 +764,5 @@ def load_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
         num_tokens=meta["num_tokens"],
         avgdl=meta["avgdl"],
         bucket_span=meta["bucket_span"],
+        stem=bool(meta.get("stem", False)),
     )

@@ -54,8 +54,8 @@ _TOPK_SCHEMA = StructType(
 )
 
 
-def _query_terms(query: str) -> list[str]:
-    return sorted(set(py_tokenize(query)))
+def _query_terms(query: str, stem: bool = False) -> list[str]:
+    return sorted(set(py_tokenize(query, stem=stem)))
 
 
 def bm25_score_col(tf, dl, idf, avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
@@ -74,7 +74,7 @@ def bm25_topk_exploded(
 ) -> DataFrame:
     """Exact top-k via exploded postings. Returns (doc_id, docno, score)."""
     spark = index.postings.sparkSession
-    terms = _query_terms(query)
+    terms = _query_terms(query, stem=index.stem)
     if not terms:
         return spark.createDataFrame([], "doc_id string, docno long, score double")
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
@@ -199,7 +199,7 @@ def bm25_topk_conjunctive(
     term count equals the query's term count.  Scores are the same BM25
     sums as the OR path, so AND results are a subset of OR results."""
     spark = index.postings.sparkSession
-    terms = _query_terms(query)
+    terms = _query_terms(query, stem=index.stem)
     if not terms:
         return spark.createDataFrame([], "doc_id string, docno long, score double")
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
@@ -255,7 +255,7 @@ def bm25_topk_blocks(
     the global top-k, extracted by TakeOrderedAndProject.
     """
     spark = index.blocks.sparkSession
-    terms = _query_terms(query)
+    terms = _query_terms(query, stem=index.stem)
     if not terms:
         return spark.createDataFrame([], "doc_id string, docno long, score double")
 

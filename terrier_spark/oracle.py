@@ -30,8 +30,13 @@ from dataclasses import dataclass
 TOKEN_SPLIT = re.compile(r"[^a-z0-9_]+")
 
 
-def tokenize(text: str) -> list[str]:
-    return [t for t in TOKEN_SPLIT.split(text.lower()) if t]
+def tokenize(text: str, stem: bool = False) -> list[str]:
+    toks = [t for t in TOKEN_SPLIT.split(text.lower()) if t]
+    if stem:
+        from terrier_spark.functions.stem import stem_token
+
+        toks = [stem_token(t) for t in toks]
+    return toks
 
 
 @dataclass
@@ -43,14 +48,17 @@ class OracleIndex:
     postings: dict[str, dict[str, int]]  # term -> {doc_id: tf}
     df: dict[str, int]
     cf: dict[str, int]
+    stem: bool = False
 
 
-def build_index(docs: list[tuple[str, str]]) -> OracleIndex:
-    """docs: [(doc_id, content)] -> full in-memory index."""
+def build_index(docs: list[tuple[str, str]], stem: bool = False) -> OracleIndex:
+    """docs: [(doc_id, content)] -> full in-memory index.  With stem,
+    terms are Porter-lite-stemmed (doclen keeps the raw token count,
+    matching the engine)."""
     doclen: dict[str, int] = {}
     postings: dict[str, dict[str, int]] = {}
     for doc_id, content in docs:
-        toks = tokenize(content)
+        toks = tokenize(content, stem=stem)
         doclen[doc_id] = len(toks)
         for term, tf in Counter(toks).items():
             postings.setdefault(term, {})[doc_id] = tf
@@ -59,7 +67,7 @@ def build_index(docs: list[tuple[str, str]]) -> OracleIndex:
     avgdl = num_tokens / num_docs if num_docs else 0.0
     df = {t: len(p) for t, p in postings.items()}
     cf = {t: sum(p.values()) for t, p in postings.items()}
-    return OracleIndex(num_docs, num_tokens, avgdl, doclen, postings, df, cf)
+    return OracleIndex(num_docs, num_tokens, avgdl, doclen, postings, df, cf, stem)
 
 
 def idf(num_docs: int, df: int) -> float:
@@ -78,7 +86,7 @@ def bm25_topk(
     Duplicate query terms are deduplicated (each unique term scored once),
     matching the engine's join-on-distinct-terms plan.
     """
-    terms = sorted(set(tokenize(query)))
+    terms = sorted(set(tokenize(query, stem=index.stem)))
     scores: dict[str, float] = {}
     for t in terms:
         plist = index.postings.get(t)
@@ -105,7 +113,7 @@ def bm25_topk_and(
 ) -> list[tuple[str, float]]:
     """Conjunctive top-k: only docs containing EVERY query term (empty if
     any term is absent from the collection); scores = same BM25 sums."""
-    terms = sorted(set(tokenize(query)))
+    terms = sorted(set(tokenize(query, stem=index.stem)))
     if not terms or any(t not in index.postings for t in terms):
         return []
     docs = set.intersection(*(set(index.postings[t]) for t in terms))
