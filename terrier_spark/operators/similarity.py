@@ -99,12 +99,21 @@ def train_centroids(
     sample: int = 2048,
     iters: int = 10,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = 42,
 ) -> np.ndarray:
     """Lloyd's k-means on a deterministic sample (driver-side numpy).
     At 100 TB the sample is still tiny; the expensive part (assignment)
-    stays distributed in ivf_assign."""
-    rows = df.select(vec_col).orderBy(F.crc32(F.col(vec_col).cast("string"))).limit(sample).collect()
+    stays distributed in ivf_assign.  The sample key hashes the ID
+    column (xxhash64 + seed) — partition-order-independent and far
+    cheaper than hashing the vectors themselves; TakeOrdered keeps it
+    from ever being a full sort."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
     x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
