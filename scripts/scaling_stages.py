@@ -1,0 +1,148 @@
+"""Stage-level N-vs-4N scaling evidence from Spark event logs.
+
+End-to-end wall-clock on this shared host is contaminated by
+multi-minute noisy-neighbor windows (documented in BENCH/BASELINE.md),
+so alongside the cli's end-to-end interleaved bench this script
+measures the PARALLEL PIPELINE itself: one warm index build per
+parallelism level with the Spark event log enabled, then the per-stage
+wall (completion - submission) and executor task time are parsed from
+the log.  Stage walls exclude driver think-time between jobs; executor
+task-time ratios expose whether the work itself is partition-parallel.
+
+Usage: python scripts/scaling_stages.py <corpus_parquet> [cores ...]
+Writes JSON to stdout (one line, same contract as cli bench).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHILD = """
+import json, os, sys, time
+from pyspark.sql import SparkSession
+cores = int(sys.argv[1]); corpus = sys.argv[2]; elog = sys.argv[3]
+spark = (
+    SparkSession.builder.master(f"local[{cores}]")
+    .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    .config("spark.default.parallelism", str(cores))
+    .config("spark.eventLog.enabled", "true")
+    .config("spark.eventLog.compress", "false")
+    .config("spark.eventLog.rolling.enabled", "false")
+    .config("spark.eventLog.dir", elog)
+    .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
+    .config("spark.driver.memory", "8g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from terrier_spark.operators.index_build import build_index
+docs = spark.read.parquet(corpus)
+# warm-up build (JIT, Arrow init) — not measured
+idx = build_index(docs, id_col="doc_id", text_col="content")
+idx.blocks.count(); idx.blocks.unpersist(); idx.lexicon.unpersist()
+spark.sparkContext.setJobGroup("measured", "measured build")
+t0 = time.monotonic()
+idx = build_index(docs, id_col="doc_id", text_col="content")
+idx.blocks.count(); idx.lexicon.count()
+wall = time.monotonic() - t0
+print(json.dumps({"wall": wall}))
+spark.stop()
+"""
+
+
+def parse_log(elog_dir: str) -> dict:
+    """Sum stage walls and executor task time for the stages of the
+    'measured' job group (the second, warm build)."""
+    path = max(glob.glob(os.path.join(elog_dir, "*")), key=os.path.getmtime)
+    if os.path.isdir(path):  # Spark 4 rolling event-log dir
+        files = sorted(glob.glob(os.path.join(path, "events_*")))
+    else:
+        files = [path]
+    measured_stages: set[int] = set()
+    stage_wall: dict[int, int] = {}
+    stage_task_ms: dict[int, int] = {}
+
+    def _lines():
+        for fp in files:
+            with open(fp) as f:
+                yield from f
+
+    if True:
+        for line in _lines():
+            try:
+                ev = json.loads(line)
+            except Exception:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                props = ev.get("Properties") or {}
+                if props.get("spark.jobGroup.id") == "measured":
+                    for si in ev.get("Stage Infos", []):
+                        measured_stages.add(si["Stage ID"])
+            elif e == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                sub, comp = si.get("Submission Time"), si.get("Completion Time")
+                if sub and comp:
+                    stage_wall[si["Stage ID"]] = comp - sub
+            elif e == "SparkListenerTaskEnd":
+                sid = ev.get("Stage ID")
+                m = ev.get("Task Metrics") or {}
+                stage_task_ms[sid] = stage_task_ms.get(sid, 0) + (
+                    m.get("Executor Run Time", 0) or 0
+                )
+    mids = measured_stages & set(stage_wall)
+    return {
+        "n_measured_stages": len(mids),
+        "measured_stage_wall_s": round(
+            sum(stage_wall[s] for s in mids) / 1000.0, 3
+        ),
+        "measured_task_time_s": round(
+            sum(stage_task_ms.get(s, 0) for s in mids) / 1000.0, 3
+        ),
+    }
+
+
+def main() -> None:
+    corpus = sys.argv[1]
+    levels = [int(c) for c in (sys.argv[2:] or ["8", "32"])]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = []
+    for c in levels:
+        elog = tempfile.mkdtemp(prefix=f"ts_elog_{c}_")
+        env = dict(os.environ)
+        env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-tmp")
+        pin = [shutil.which("taskset"), "-c", f"0-{c-1}"] if shutil.which("taskset") else []
+        p = subprocess.run(
+            pin + [sys.executable, "-c", CHILD, str(c), corpus, elog],
+            capture_output=True, text=True, env=env, cwd=repo_root,
+        )
+        if p.returncode != 0:
+            raise RuntimeError(f"child cores={c} failed:\n{p.stderr[-3000:]}")
+        wall = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])["wall"]
+        stats = parse_log(elog)
+        results.append({"cores": c, "warm_build_wall_s": round(wall, 3), **stats})
+        print(f"# cores={c}: warm wall {wall:.2f}s, "
+              f"measured stages {stats['measured_stage_wall_s']}s", file=sys.stderr)
+        shutil.rmtree(elog, ignore_errors=True)
+    out = {"op": "scaling-stages", "corpus": corpus, "levels": results}
+    if len(results) >= 2:
+        lo, hi = results[0], results[-1]
+        ratio = hi["cores"] / lo["cores"]
+        out["wall_speedup"] = round(lo["warm_build_wall_s"] / hi["warm_build_wall_s"], 3)
+        out["wall_efficiency"] = round(out["wall_speedup"] / ratio, 3)
+        out["stage_speedup"] = round(
+            lo["measured_stage_wall_s"] / hi["measured_stage_wall_s"], 3
+        )
+        out["stage_efficiency"] = round(out["stage_speedup"] / ratio, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
