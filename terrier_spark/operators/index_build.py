@@ -329,6 +329,35 @@ def blocks_df(postings: DataFrame, num_docs: int, target_buckets: int | None = N
 
 # ------------------------------------------------- partition-aligned build
 
+def _exact_partition_salts(spark: SparkSession, parts: int) -> list[int]:
+    """salts[p] = an int whose Murmur3 hash lands in shuffle partition p.
+
+    ``repartition(parts, col)`` places rows by pmod(murmur3(col), parts).
+    Hashing the raw pidx values 0..parts-1 collides birthday-style —
+    ~1/e of the partitions stay EMPTY and others receive 2-3 buckets,
+    so the aligned build's main stage ran at measured parallelism
+    2.85/8 with 2-3x task skew.  Partitioning on salts[pidx] instead
+    makes the placement bijective: every task gets exactly one
+    contiguous doc_id bucket.  The preimage search is one tiny Spark
+    job over parts*64 integers using the same hash implementation."""
+    rows = (
+        spark.range(parts * 64)
+        .select(
+            F.col("id").cast("int").alias("v"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(parts)).alias("p"),
+        )
+        .collect()
+    )
+    first: dict[int, int] = {}
+    for r in rows:
+        if r["p"] not in first:
+            first[r["p"]] = r["v"]
+    missing = [p for p in range(parts) if p not in first]
+    if missing:  # astronomically unlikely with 64x oversampling
+        raise RuntimeError(f"no Murmur3 preimage found for partitions {missing}")
+    return [first[p] for p in range(parts)]
+
+
 def _pidx_expr(dtype: str, parts: int, lo: int | None = None, hi: int | None = None):
     """Deterministic, MONOTONE doc_id → bucket-partition index in
     [0, parts).  Unlike repartitionByRange, no sampling is involved, so
@@ -570,9 +599,15 @@ def _build_index_aligned(
         print(f"[build] docnos: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
         _t0 = _time.monotonic()
 
+    salts = _exact_partition_salts(spark, parts)
+    salt_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in range(parts)]),
+        F.array(*[F.lit(v) for v in salts]),
+    )
     ranged = (
         base.withColumn("pidx", pidx)
-        .repartition(parts, "pidx")
+        .withColumn("psalt", salt_map[F.col("pidx")])
+        .repartition(parts, "psalt")
         .select("doc_id", "content", "pidx")
     )
     blocks = ranged.mapInArrow(_aligned_kernel(offsets, span, stem), BLOCK_SCHEMA)
