@@ -232,6 +232,61 @@ def bm25_topk_conjunctive(
     )
 
 
+def wand_prune_stats(
+    index: InvertedIndex, query: str, k: int = 10,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> dict:
+    """Diagnostic: how many candidate blocks the block-max prune would
+    skip for this query — (total_blocks, kept_blocks, theta).
+
+    Uses the same bound as _bucket_topk (ub(block) + Σ other-term
+    max-ub in bucket vs the rarest-term seed threshold θ).  Exists
+    because prunability is a DATA property: on term-homogeneous corpora
+    (like the uniform synthetic test corpus) every block's bound clears
+    θ and pruning pays nothing, while Zipfian/clustered corpora prune
+    heavily — tests/test_wand.py pins both behaviors."""
+    spark = index.blocks.sparkSession
+    terms = _query_terms(query, stem=index.stem)
+    lex = {
+        r["term"]: r["df"]
+        for r in index.lexicon.filter(F.col("term").isin(terms)).collect()
+    }
+    idf_map = {
+        t: math.log((index.num_docs - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in lex.items()
+    }
+    if len(idf_map) < 2:
+        return {"total_blocks": 0, "kept_blocks": 0, "theta": None}
+    rarest = max(idf_map, key=idf_map.get)
+    seed = _bucket_topk(
+        index.blocks, [rarest], {rarest: idf_map[rarest]}, index.avgdl, k, k1, b, None
+    )
+    seed_rows = seed.orderBy(F.desc("score")).limit(k).collect()
+    if len(seed_rows) < k:
+        return {"total_blocks": 0, "kept_blocks": 0, "theta": None}
+    theta = float(seed_rows[-1]["score"])
+    blocks = index.blocks.filter(F.col("term").isin(list(idf_map)))
+    idf_expr = F.create_map(
+        *[x for t in idf_map for x in (F.lit(t), F.lit(idf_map[t]))]
+    )[F.col("term")]
+    ub = idf_expr * F.col("max_tf") * (k1 + 1.0) / (
+        F.col("max_tf")
+        + k1 * (1.0 - b + b * F.col("min_dl") / F.lit(index.avgdl))
+    )
+    withub = blocks.withColumn("ub", ub)
+    term_max = withub.groupBy("bucket", "term").agg(F.max("ub").alias("tub"))
+    bucket_sum = term_max.groupBy("bucket").agg(F.sum("tub").alias("sum_ub"))
+    # bound(block of term t) = ub(block) + Σ_{t' ≠ t} bucket-max-ub(t')
+    bounded = (
+        withub.join(term_max, ["bucket", "term"])
+        .join(bucket_sum, "bucket")
+        .withColumn("bound", F.col("ub") + (F.col("sum_ub") - F.col("tub")))
+    )
+    total = withub.count()
+    kept = bounded.filter(F.col("bound") >= theta - 1e-9).count()
+    return {"total_blocks": total, "kept_blocks": kept, "theta": theta}
+
+
 def bm25_topk_blocks(
     index: InvertedIndex, query: str, k: int = 10,
     k1: float = BM25_K1, b: float = BM25_B,
