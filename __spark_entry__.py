@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_funcs": R.q_scalar_funcs,
         "q_result_const": R.q_result_const,
         "q_csv_scan": R.q_csv_scan,
+        "q_index_lookup": R.q_index_lookup,
         "q_dml_roundtrip": R.q_dml_roundtrip,
         # ANALYZE / sketch statistics (§2.9)
         "q_approx_stats": R.q_approx_stats,

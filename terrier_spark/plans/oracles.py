@@ -380,6 +380,17 @@ FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
 ORDER BY s_suppkey
 """
 
+ORACLES["q_index_lookup"] = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6)::DOUBLE AS o_totalprice
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 5
+)
+ORDER BY o_orderkey
+"""
+
 ORACLES["q_approx_stats"] = """
 WITH s AS (
     SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,

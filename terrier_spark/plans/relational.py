@@ -593,6 +593,26 @@ def q_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s_suppkey")
 
 
+def q_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexScan / index-nested-loop-join analog (§2.1 IndexScan,
+    §2.3 index_join_translator.cpp): point lookups for a small probe
+    set.  Spark has no secondary indexes; the equivalent is an IN-list
+    literal filter that reaches the parquet scan as PushedFilters[In],
+    so row groups whose min/max exclude the keys are never read —
+    tests/test_plans.py asserts the pushdown is in the physical plan."""
+    c = load_table(spark, sf_dir, "customer")
+    probe = [
+        int(r["c_custkey"])
+        for r in c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(5).collect()
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey").isin(probe))
+        .select("o_orderkey", "o_custkey", F.bround("o_totalprice", 6).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE statistics (§2.9 analyze_translator.cpp → pg_statistic):
     exact per-column (n_rows, n_distinct, n_nulls, min, max).  The
