@@ -91,8 +91,12 @@ def bm25_topk_exploded(
     )
     agg = scored.groupBy("docno").agg(F.bround(F.sum("partial"), 9).alias("score"))
     top = agg.orderBy(F.desc("score"), F.asc("docno")).limit(k)
+    # Broadcast the k-row top side into the docmap join: without the
+    # hint Catalyst may plan a shuffle of the ENTIRE docmap (10^12 rows
+    # at scale) to join 10 rows.
     return (
-        top.join(index.docmap.select("doc_id", "docno"), "docno")
+        index.docmap.select("doc_id", "docno")
+        .join(F.broadcast(top), "docno")
         .select("doc_id", "docno", "score")
         .orderBy(F.desc("score"), F.asc("docno"))
     )
@@ -225,8 +229,12 @@ def bm25_topk_conjunctive(
         .orderBy(F.desc("score"), F.asc("docno"))
         .limit(k)
     )
+    # Broadcast the k-row top side into the docmap join: without the
+    # hint Catalyst may plan a shuffle of the ENTIRE docmap (10^12 rows
+    # at scale) to join 10 rows.
     return (
-        top.join(index.docmap.select("doc_id", "docno"), "docno")
+        index.docmap.select("doc_id", "docno")
+        .join(F.broadcast(top), "docno")
         .select("doc_id", "docno", "score")
         .orderBy(F.desc("score"), F.asc("docno"))
     )
@@ -338,8 +346,12 @@ def bm25_topk_blocks(
 
     local = _bucket_topk(index.blocks, live_terms, idf_map, avgdl, k, k1, b, theta)
     top = local.orderBy(F.desc("score"), F.asc("docno")).limit(k)
+    # Broadcast the k-row top side into the docmap join: without the
+    # hint Catalyst may plan a shuffle of the ENTIRE docmap (10^12 rows
+    # at scale) to join 10 rows.
     return (
-        top.join(index.docmap.select("doc_id", "docno"), "docno")
+        index.docmap.select("doc_id", "docno")
+        .join(F.broadcast(top), "docno")
         .select("doc_id", "docno", "score")
         .orderBy(F.desc("score"), F.asc("docno"))
     )
