@@ -756,6 +756,101 @@ def build_index(
     )
 
 
+def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
+    """Segment merge — the batch analog of incremental index
+    maintenance (Lucene-style): combine two independently built indexes
+    without re-tokenizing a single document.
+
+    b's docnos are rebased by ``offset`` = a's docno space padded up to
+    a whole bucket, so block/bucket alignment is preserved (offset is a
+    multiple of the shared bucket span; docno holes in the pad are
+    harmless — docnos are ids, not ordinals, everywhere downstream).
+    The rebase touches ONLY each block's first delta-gap (the one
+    absolute value in the blob) plus the bucket/first/last metadata —
+    one small Arrow kernel over b's block table; a's blocks pass
+    through untouched.  Lexicon/stats merge is a groupBy(term) sum.
+
+    Tie-break caveat: within one built index docno order == doc_id
+    order; after a merge docno order is segment-major (all of a before
+    b), so exact-tie ranking against the doc_id-ordered oracle can
+    differ on equal scores.  Scores themselves are exactly preserved
+    (df/cf/num_docs/avgdl are the true merged statistics).
+    """
+    if a.bucket_span != b.bucket_span:
+        raise ValueError(
+            f"bucket spans differ ({a.bucket_span} vs {b.bucket_span}); "
+            "rebasing across spans would split blocks over buckets"
+        )
+    if a.stem != b.stem:
+        raise ValueError("cannot merge stemmed and unstemmed indexes")
+    span = a.bucket_span
+    offset = -(-a.num_docs // span) * span  # pad to a bucket boundary
+    bucket_off = offset // span
+
+    import pyarrow as pa
+
+    from terrier_spark.operators.compress import vbyte_decode, vbyte_encode
+
+    def rebase(batches):
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            blobs = tbl.column("docno_blob").to_pylist()
+            out_blobs = []
+            for blob in blobs:
+                gaps = vbyte_decode(bytes(blob))
+                gaps[0] += np.uint64(offset)  # only the absolute head moves
+                out_blobs.append(vbyte_encode(gaps))
+            arrays = []
+            for name in BLOCK_SCHEMA.fieldNames():
+                if name == "docno_blob":
+                    arrays.append(pa.array(out_blobs, type=pa.binary()))
+                elif name == "bucket":
+                    arrays.append(
+                        pa.compute.add(tbl.column(name), bucket_off)
+                    )
+                elif name in ("first_docno", "last_docno"):
+                    arrays.append(pa.compute.add(tbl.column(name), offset))
+                else:
+                    col = tbl.column(name)
+                    arrays.append(
+                        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in arrays],
+                names=BLOCK_SCHEMA.fieldNames(),
+            )
+
+    rebased = b.blocks.mapInArrow(rebase, BLOCK_SCHEMA)
+    blocks = a.blocks.unionByName(rebased)
+    lexicon = (
+        a.lexicon.unionByName(b.lexicon)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+    docmap = a.docmap.select("doc_id", "docno").unionByName(
+        b.docmap.select("doc_id", (F.col("docno") + offset).alias("docno"))
+    )
+    doclens = None
+    if a.doclens is not None and b.doclens is not None:
+        doclens = a.doclens.unionByName(b.doclens)
+    num_docs = a.num_docs + b.num_docs
+    num_tokens = a.num_tokens + b.num_tokens
+    return InvertedIndex(
+        docmap=docmap,
+        postings=postings_from_blocks(blocks),
+        doclens=doclens,
+        lexicon=lexicon,
+        blocks=blocks,
+        num_docs=num_docs,
+        num_tokens=num_tokens,
+        avgdl=num_tokens / num_docs if num_docs else 0.0,
+        bucket_span=span,
+        stem=a.stem,
+    )
+
+
 def write_index(index: InvertedIndex, out_dir: str) -> None:
     """Persist index tables as parquet, partitioned for the query path.
 
