@@ -55,6 +55,14 @@ def main() -> None:
     spark = get_spark(app_name="terrier_spark_bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the session (codegen, parquet reader, shuffle machinery)
+    # before timing — otherwise the first query absorbs one-time JIT
+    # cost that isn't attributable to any plan.
+    from pyspark.sql import functions as _F
+
+    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    warm.groupBy("l_returnflag").agg(_F.count("*")).collect()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0

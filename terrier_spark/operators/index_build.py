@@ -756,6 +756,49 @@ def build_index(
     )
 
 
+def index_from_postings(
+    kernel_out: DataFrame,
+    target_buckets: int | None = None,
+    cache: bool = True,
+) -> InvertedIndex:
+    """Finish an index from an already-tokenized postings table
+    (doc_id, term, tf, dl — the tokenize_postings contract, with
+    term-NULL doclen rows), e.g. the output of the checkpointed shard
+    build.  Completes the resume story: after a crash, the expensive
+    tokenize passes are recovered from the shard checkpoints and ONLY
+    this assembly (docnos → block encode → lexicon) runs — no document
+    is re-read or re-tokenized."""
+    null_rows = kernel_out.filter(F.col("term").isNull())
+    docmap, num_docs, ranged = assign_docnos(
+        null_rows.select("doc_id")
+    )
+    if cache:
+        docmap = docmap.persist()
+    post = postings_df(kernel_out, docmap, num_docs)
+    blocks, span = blocks_df(post, num_docs, target_buckets)
+    if cache:
+        blocks = blocks.persist()
+        blocks.count()
+        docmap.count()
+        ranged.unpersist()
+    lex = lexicon_from_blocks(blocks)
+    if cache:
+        lex = lex.persist()
+    num_tokens = int(lex.agg(F.sum("cf")).collect()[0][0] or 0)
+    doclens = null_rows.select("doc_id", F.col("dl").alias("doclen"))
+    return InvertedIndex(
+        docmap=docmap,
+        postings=post,
+        doclens=doclens,
+        lexicon=lex,
+        blocks=blocks,
+        num_docs=num_docs,
+        num_tokens=num_tokens,
+        avgdl=num_tokens / num_docs if num_docs else 0.0,
+        bucket_span=span,
+    )
+
+
 def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
     """Segment merge — the batch analog of incremental index
     maintenance (Lucene-style): combine two independently built indexes

@@ -92,6 +92,30 @@ def test_job_count_independent_of_shard_count(spark, corpus_sdf, tmp_path):
     assert j4 <= 10
 
 
+def test_index_from_checkpointed_postings_matches_oracle(
+    spark, corpus_sdf, oracle_index, corpus_pdf, tmp_path
+):
+    """Finish an index from the checkpointed shard postings (no
+    re-tokenization) — BM25 must be rank-identical to the oracle."""
+    from terrier_spark import oracle
+    from terrier_spark.operators.index_build import index_from_postings
+    from terrier_spark.operators.score import bm25_topk_exploded
+
+    out = str(tmp_path / "ckpt_full")
+    posts = build_postings_checkpointed(
+        corpus_sdf, out, n_shards=N_SHARDS, text_col="content"
+    )
+    idx = index_from_postings(posts)
+    assert idx.num_docs == oracle_index.num_docs
+    assert abs(idx.avgdl - oracle_index.avgdl) < 1e-9
+    q = "int return foo_bar"
+    exp = oracle.bm25_topk(oracle_index, q, 10)
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk_exploded(idx, q, 10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) <= 1e-9
+
+
 def test_input_change_triggers_rebuild(spark, corpus_sdf, tmp_path):
     out = str(tmp_path / "ckpt_fp")
     build_postings_checkpointed(corpus_sdf, out, n_shards=2, text_col="content")
