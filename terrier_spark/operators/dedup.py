@@ -276,6 +276,14 @@ def minhash_lsh_pairs(
     Output: (id1, id2, jaccard).
     """
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # A single-file parquet source arrives as ONE partition, which would
+    # serialize the whole signature kernel into one Python worker (the
+    # sf0.1 table measured 34s single-task vs ~4s spread).  Fan the
+    # corpus out to the session's parallelism first; at real scale the
+    # source already has many splits and this is a no-op.
+    parts = base.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parts:
+        base = base.repartition(parts)
     band_rows = minhash_band_rows(
         base, n=n, num_perm=num_perm, bands=bands, seed=seed
     ).persist()
