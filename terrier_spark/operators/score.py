@@ -295,10 +295,18 @@ def wand_prune_stats(
     return {"total_blocks": total, "kept_blocks": kept, "theta": theta}
 
 
+# Below this many candidate postings (Σ df over query terms) the WAND
+# threshold pass costs more than the decodes it can skip: it is one
+# extra Spark job + a driver round-trip, while decoding this few
+# postings is milliseconds.  Measured at 320k docs: prune=True added
+# ~1.5s/query over prune=False when nothing was prunable.
+PRUNE_MIN_POSTINGS = 500_000
+
+
 def bm25_topk_blocks(
     index: InvertedIndex, query: str, k: int = 10,
     k1: float = BM25_K1, b: float = BM25_B,
-    prune: bool = True,
+    prune: bool | str = "auto",
 ) -> DataFrame:
     """Top-k via the compressed block table — block-max WAND as two Spark
     passes (reference analog: top-k bounded heaps sorter.h:126-140 +
@@ -316,6 +324,12 @@ def bm25_topk_blocks(
 
     Buckets partition docs disjointly, so bucket-local top-ks contain
     the global top-k, extracted by TakeOrderedAndProject.
+
+    ``prune="auto"`` (default) engages the threshold pass only when the
+    query's candidate posting volume (Σ df, already in hand from the
+    lexicon lookup) exceeds PRUNE_MIN_POSTINGS — below that the extra
+    job outweighs any decode savings.  Results are identical either
+    way (pruning is a pure physical optimization).
     """
     spark = index.blocks.sparkSession
     terms = _query_terms(query, stem=index.stem)
@@ -332,6 +346,9 @@ def bm25_topk_blocks(
     if not idf_map:
         return spark.createDataFrame([], "doc_id string, docno long, score double")
     avgdl = index.avgdl
+
+    if prune == "auto":
+        prune = sum(r["df"] for r in lex_rows) >= PRUNE_MIN_POSTINGS
 
     theta: float | None = None
     live_terms = sorted(idf_map)
