@@ -74,3 +74,35 @@ def test_hot_term_spreads_over_buckets(spark_index):
         .count()
     )
     assert hot > 1
+
+
+def test_write_load_query_roundtrip(spark, spark_index, oracle_index, corpus_pdf, tmp_path):
+    """write_index -> load_index -> block-path query must be
+    rank-identical to the oracle (the CLI's serve path)."""
+    from terrier_spark import oracle
+    from terrier_spark.operators.index_build import load_index, write_index
+    from terrier_spark.operators.score import bm25_topk_blocks
+
+    out = str(tmp_path / "idx")
+    write_index(spark_index, out)
+    loaded = load_index(spark, out)
+    assert loaded.num_docs == spark_index.num_docs
+    assert abs(loaded.avgdl - spark_index.avgdl) < 1e-12
+    q = "int return foo_bar"
+    exp = oracle.bm25_topk(oracle_index, q, 10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_blocks(loaded, q, 10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_hot_term_blocks_bounded(spark_index):
+    """Skew design, part 2: no posting row is unbounded — every block of
+    the hottest term holds at most BLOCK_DOCS docs, so a term in 30% of
+    10^12 docs becomes millions of bounded rows, never one giant row."""
+    from terrier_spark.operators.index_build import BLOCK_DOCS
+
+    hot = spark_index.blocks.filter(F.col("term") == "int")
+    mx = hot.agg(F.max("n_docs")).collect()[0][0]
+    assert mx is not None and mx <= BLOCK_DOCS
