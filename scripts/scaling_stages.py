@@ -39,6 +39,7 @@ spark = (
     .config("spark.eventLog.dir", elog)
     .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
     .config("spark.driver.memory", "8g")
+    .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")

@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Throughput GC for a batch engine: with 32 concurrent tasks in
+        # one local-mode JVM, G1's concurrent marking/barriers inflated
+        # executor task time ~3x; ParallelGC cut a 320k-doc build from
+        # 31-54s to 17-18s at local[32] (measured, BENCH/BASELINE.md).
+        # On a real cluster the same flag goes to executor JVMs.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
