@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dml_roundtrip": R.q_dml_roundtrip,
         # ANALYZE / sketch statistics (§2.9)
         "q_approx_stats": R.q_approx_stats,
+        "q_salted_agg": R.q_salted_agg,
         "q_histogram": R.q_histogram,
         "q_heavy_hitters": T.q_heavy_hitters,
         # IR engine (north rule)

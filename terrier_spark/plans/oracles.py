@@ -417,6 +417,16 @@ WITH s AS (
 SELECT * FROM s ORDER BY col_name
 """
 
+ORACLES["q_salted_agg"] = """
+SELECT l_suppkey,
+       count(l_quantity) AS n_items,
+       round(sum(l_quantity), 6)::DOUBLE AS total_qty,
+       round(max(l_quantity), 6)::DOUBLE AS max_qty
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
 ORACLES["q_histogram"] = """
 WITH mm AS (
     SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders

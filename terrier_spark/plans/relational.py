@@ -628,6 +628,32 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase skew salting (north rule; §7.6; reference's
+    512-way radix overflow, aggregation_hash_table.h:62): groupBy
+    (key, salt) partials then merge per key — result identical to the
+    direct groupBy, hot keys bounded to ~1/n_salts per reducer."""
+    from terrier_spark.operators import salting
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salting.salted_agg(
+        li,
+        ["l_suppkey"],
+        {
+            "n_items": ("l_quantity", "count"),
+            "total_qty": ("l_quantity", "sum"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_suppkey",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.bround("total_qty", 6).alias("total_qty"),
+        F.bround("max_qty", 6).alias("max_qty"),
+    ).orderBy("l_suppkey")
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram (§2.4 HistogramAggregate aggregators.h:469):
     16 exact bins over o_totalprice, zero-filled."""
