@@ -36,6 +36,29 @@ def test_stem_token_rules(tok, expected):
     assert stem_token(tok) == expected
 
 
+from hypothesis import given
+from hypothesis import strategies as st
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=40))
+def test_stem_never_crashes_and_preserves_identifiers(tok):
+    out = stem_token(tok)
+    assert isinstance(out, str)
+    if tok:
+        assert out, f"stem emptied {tok!r}"
+    # anything non-alphabetic (identifiers, numbers) passes through
+    if not (tok.isascii() and tok.isalpha()):
+        assert out == tok
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=4, max_size=30))
+def test_stem_shrinks_or_preserves(tok):
+    out = stem_token(tok)
+    # suffix stripping may append at most one restorative 'e'/'i'
+    assert len(out) <= len(tok) + 1
+    assert out[:2] == tok[:2]  # the stem never rewrites the word head
+
+
 def test_stem_idempotent_on_vocab():
     words = ["running", "classes", "relational", "merges", "sorted", "index"]
     for w in words:
