@@ -58,6 +58,24 @@ def _query_terms(query: str, stem: bool = False) -> list[str]:
     return sorted(set(py_tokenize(query, stem=stem)))
 
 
+def _term_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """(term, docno, tf, dl) restricted to the query terms, decoding as
+    little as possible.
+
+    When the index carries a block table, the term IN-filter is applied
+    to the BLOCKS (pushed to the parquet/cache scan) and only matching
+    blocks are decoded — the round-1 plan piped index.postings (=
+    postings_from_blocks over ALL blocks) into the term join, i.e. a
+    full-index decode for a 4-term query.  Without blocks (plain
+    postings table) the filter pushes down directly."""
+    from terrier_spark.operators.index_build import postings_from_blocks
+
+    cond = F.col("term").isin(terms)
+    if index.blocks is not None:
+        return postings_from_blocks(index.blocks.filter(cond))
+    return index.postings.filter(cond)
+
+
 def bm25_score_col(tf, dl, idf, avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
     """BM25 partial score as a Column expression (JVM-side)."""
     denom = tf + k1 * (F.lit(1.0) - b + F.lit(b) * dl / F.lit(avgdl))
@@ -73,15 +91,13 @@ def bm25_topk_exploded(
     k1: float = BM25_K1, b: float = BM25_B,
 ) -> DataFrame:
     """Exact top-k via exploded postings. Returns (doc_id, docno, score)."""
-    spark = index.postings.sparkSession
+    # postings is None for loaded indexes; blocks always exist
+    spark = (index.postings if index.postings is not None else index.blocks).sparkSession
     terms = _query_terms(query, stem=index.stem)
     if not terms:
         return spark.createDataFrame([], "doc_id string, docno long, score double")
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    # Filter postings to query terms (broadcast semi-join → pushes the
-    # small side everywhere; at scale the term column is the partition /
-    # bloom key so the scan itself prunes).
-    cand = index.postings.join(F.broadcast(tdf), "term")
+    cand = _term_postings(index, terms)
     lex = index.lexicon.join(F.broadcast(tdf), "term").withColumn(
         "idf", idf_col(F.col("df"), index.num_docs)
     )
@@ -202,7 +218,8 @@ def bm25_topk_conjunctive(
     over the grouped postings: a doc survives iff its distinct matched
     term count equals the query's term count.  Scores are the same BM25
     sums as the OR path, so AND results are a subset of OR results."""
-    spark = index.postings.sparkSession
+    # postings is None for loaded indexes; blocks always exist
+    spark = (index.postings if index.postings is not None else index.blocks).sparkSession
     terms = _query_terms(query, stem=index.stem)
     if not terms:
         return spark.createDataFrame([], "doc_id string, docno long, score double")
@@ -214,7 +231,7 @@ def bm25_topk_conjunctive(
     if live < len(terms):
         # a doc can never contain an absent term — AND result is empty
         return spark.createDataFrame([], "doc_id string, docno long, score double")
-    cand = index.postings.join(F.broadcast(tdf), "term")
+    cand = _term_postings(index, terms)
     scored = cand.join(F.broadcast(lex.select("term", "idf")), "term").select(
         "term",
         "docno",
