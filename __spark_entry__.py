@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": T.text_token_counts,
         "text_quality": T.text_quality,
         "text_langid": T.text_langid,
+        "text_fingerprints": T.text_fingerprints,
         # dedup
         "dedup_exact_docs": T.dedup_exact_docs,
         "dedup_ngram_pairs": T.dedup_ngram_pairs,

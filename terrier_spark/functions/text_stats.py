@@ -107,3 +107,45 @@ def fingerprint(col: Column | str) -> Column:
     lowercased text (stable across formatting-only edits)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def winnowing_fingerprints(
+    df, k: int = 8, w: int = 16, id_col: str = "doc_id", text_col: str = "text"
+):
+    """MOSS-style winnowing fingerprints (rolling-hash document
+    fingerprinting, Schleimer/Wilkerson/Aiken 2003): hash every char
+    k-gram of the normalized text, keep the MINIMUM hash of each
+    w-position sliding window, emit the distinct kept hashes.  Any two
+    docs sharing a run of ≥ w+k-1 chars share ≥ 1 fingerprint — the
+    guarantee plagiarism/near-dup pipelines rely on.
+
+    The k-gram hash is the first 15 hex chars of md5 (a hash both Spark
+    and DuckDB expose), so the whole pipeline — posexplode positions →
+    substring → hash → sliding-window min → distinct — is JVM built-ins
+    with an exact SQL oracle.  One narrow pass, shuffle only for the
+    per-doc window/distinct, identical at any scale.
+    Output: (doc_id, fp long) ordered rows."""
+    from pyspark.sql import Window
+
+    c = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col).alias("doc_id"), c.alias("t")).filter(
+        F.length("t") >= k
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("idx", "pos"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.expr(f"substring(t, pos, {k})")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .select("doc_id", "fp")
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )

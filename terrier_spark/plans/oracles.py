@@ -624,6 +624,25 @@ FROM counted ORDER BY doc_id
 
 ORACLES["text_langid"] = _langid_sql()
 
+ORACLES["text_fingerprints"] = """
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id, i AS pos,
+           ('0x' || substr(md5(substr(t, i::INTEGER, 8)), 1, 15))::BIGINT AS h
+    FROM (
+        SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS i
+        FROM norm WHERE length(t) >= 8
+    )
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+FROM grams
+ORDER BY doc_id, fp
+"""
+
 ORACLES["dedup_exact_docs"] = """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        min(doc_id) AS survivor_id,

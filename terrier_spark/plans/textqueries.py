@@ -134,6 +134,16 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", lang_id("text").alias("lang_guess")).orderBy("doc_id")
 
 
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (k=8 char-grams,
+    window 16) — the brief's "document fingerprinting (rolling hash)";
+    md5-prefix hashes make the full pipeline SQL-reproducible."""
+    from terrier_spark.functions.text_stats import winnowing_fingerprints
+
+    d = _docs(spark, sf_dir)
+    return winnowing_fingerprints(d, k=8, w=16)
+
+
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return dedup.dedup_exact(d, "doc_id", "text").orderBy("fp")
