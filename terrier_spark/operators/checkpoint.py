@@ -35,7 +35,7 @@ class ShardRecord:
     n_rows: int
     input_fingerprint: str   # order-independent xor of row hashes
     n_postings: int
-    wall_ms: int
+    wall_ms: int            # wall clock of the shard's COMMIT BATCH (not per-shard)
     out_path: str
     engine_version: str
     finished_at_unix: int
@@ -100,8 +100,14 @@ def build_postings_checkpointed(
     ``out_dir/shard=K/``, resumable.  Returns the merged postings DF.
 
     Sharding key: pmod(xxhash64(doc_id), n_shards) — deterministic, no
-    doc migrates between runs.  The shard is the recovery unit (the
-    reference's recovery unit is the log segment).
+    doc migrates between runs.  The PENDING BATCH is the commit/recovery
+    unit (the reference's recovery unit is the log segment): all pending
+    shards are written in one Spark job and their COMPLETE records are
+    appended together afterwards, so a crash mid-batch loses the whole
+    pending batch (each unrecorded shard is simply rebuilt on resume —
+    the WAL redo rule).  Per-record ``wall_ms`` is therefore the wall
+    clock of the COMMIT BATCH the shard was part of, not a per-shard
+    cost.
 
     Corpus-scan budget is O(1) regardless of n_shards (the round-1
     version ran 2 scans PER shard — fingerprint + build — i.e. ~2048
@@ -161,6 +167,21 @@ def build_postings_checkpointed(
             .partitionBy("shard")
             .parquet(out_dir)
         )
+        # Dynamic partition overwrite only replaces partitions PRESENT in
+        # the written data: a pending shard whose input shrank to zero
+        # rows (all its docs deleted), or a stale dir left by a previous
+        # run under resume=False, would keep its old shard=K directory
+        # and resurrect deleted docs with stale lineage counts.  Every
+        # non-empty input shard always produces output (tokenize_postings
+        # emits a term-NULL row per doc), so removing the dirs of
+        # zero-input build_set shards is exactly the missing delete.
+        import shutil
+
+        for s in build_set:
+            if fps[s][0] == 0:
+                stale = os.path.join(out_dir, f"shard={s}")
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
         # lineage counts from the written output (footer metadata only)
         existing = [
             os.path.join(out_dir, f"shard={s}")

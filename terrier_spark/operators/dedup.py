@@ -28,10 +28,15 @@ content-aware generalizations.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
+
+# Java regex \s (ASCII-only) — keeps the Python shingle path identical
+# to the JVM split('\s+') path on any input.
+_WS_ASCII = re.compile(r"\s+", flags=re.ASCII)
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -134,12 +139,15 @@ def _shingle_arrays(texts, n: int) -> list[np.ndarray]:
     """Distinct word n-gram shingles per text, as object ndarrays.
 
     Python-side twin of :func:`shingles` (JVM): lower → whitespace split
-    → adjacent n-grams joined by ' ' → distinct.  str.split() and the
-    JVM split(lower, '\\s+') agree on ASCII whitespace, so both paths
-    and the DuckDB oracle see identical sets."""
+    → adjacent n-grams joined by ' ' → distinct.  The split is
+    re.split(r'\\s+', ..., flags=re.ASCII) — the exact Java regex \\s
+    class ([ \\t\\n\\x0b\\f\\r]) the JVM split(lower, '\\s+') path uses —
+    so both paths and the DuckDB oracle see identical shingle sets even
+    on text containing non-ASCII whitespace (e.g. \\u00a0, which
+    Python's default str.split() would also split on)."""
     out = []
     for t in texts:
-        toks = (t or "").lower().split()
+        toks = [x for x in _WS_ASCII.split((t or "").lower()) if x]
         if len(toks) < n:
             out.append(np.empty(0, dtype=object))
             continue
@@ -260,6 +268,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    cleanup: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH, verified with exact Jaccard.
 
@@ -274,6 +283,14 @@ def minhash_lsh_pairs(
     selective (r=2, bands=32 at threshold 0.8 is the classic setting);
     candidates are always bucket-bounded, never all-pairs.
     Output: (id1, id2, jaccard).
+
+    ``cleanup=True`` (default) materializes the verified pair set on the
+    driver and releases every intermediate cache before returning — no
+    persisted RDDs survive the call.  The verified output is bounded by
+    the TRUE near-dup count, but on a duplicate-heavy 100 TB corpus that
+    can still be large: pass ``cleanup=False`` to get the fully lazy
+    distributed plan instead (the caller then owns unpersisting the
+    cached intermediates, e.g. via spark.catalog.clearCache()).
     """
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     # A single-file parquet source arrives as ONE partition, which would
@@ -322,7 +339,16 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
-    return verified
+    if not cleanup:
+        return verified
+    rows = verified.collect()
+    band_rows.unpersist()
+    cand.unpersist()
+    id_t = dict(base.dtypes)["doc_id"]
+    return df.sparkSession.createDataFrame(
+        [(r["id1"], r["id2"], float(r["jaccard"])) for r in rows],
+        schema=f"id1 {id_t}, id2 {id_t}, jaccard double",
+    )
 
 
 # --------------------------------------------------------------- simhash
@@ -399,17 +425,25 @@ def simhash_df_md5(
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs_md5(
+def _simhash_banded_pairs(
     df: DataFrame,
-    max_hamming: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    sig: DataFrame,
+    chunk_bits: int,
+    max_hamming: int,
+    id_col: str,
+    cleanup: bool,
 ) -> DataFrame:
-    """All pairs with Hamming(simhash_md5) ≤ max_hamming, via 4×15-bit
-    banding (sound + complete for max_hamming ≤ 3 by pigeonhole), so the
-    output equals the brute-force n² scan the DuckDB oracle runs.
-    Output: (id1, id2, hamming)."""
-    sig = simhash_df_md5(df, id_col, text_col).persist()
+    """Shared 4-chunk banded Hamming-pair plan over a (doc_id, simhash)
+    signature table.  Complete ONLY for max_hamming ≤ 3 (pigeonhole over
+    4 chunks) — validated at the callers."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4-chunk banding is only complete "
+            "for max_hamming <= 3 (two signatures within distance d agree "
+            "on >= 1 of d+1 chunks); pairs would be silently lost"
+        )
+    sig = sig.persist()
+    mask = (1 << chunk_bits) - 1
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -418,8 +452,8 @@ def simhash_pairs_md5(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 15)
-                        .bitwiseAND(F.lit(0x7FFF))
+                        F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("cval"),
                     )
                     for c in range(4)
@@ -440,7 +474,32 @@ def simhash_pairs_md5(
         .distinct()
     )
     ham = cand.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
-    return ham.filter(F.col("hamming") <= max_hamming).select("id1", "id2", "hamming")
+    out = ham.filter(F.col("hamming") <= max_hamming).select("id1", "id2", "hamming")
+    if not cleanup:
+        return out
+    rows = out.collect()
+    sig.unpersist()
+    id_t = dict(df.dtypes)[id_col]
+    return df.sparkSession.createDataFrame(
+        [(r["id1"], r["id2"], int(r["hamming"])) for r in rows],
+        schema=f"id1 {id_t}, id2 {id_t}, hamming long",
+    )
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cleanup: bool = True,
+) -> DataFrame:
+    """All pairs with Hamming(simhash_md5) ≤ max_hamming, via 4×15-bit
+    banding (sound + complete for max_hamming ≤ 3 by pigeonhole — larger
+    values raise ValueError), so the output equals the brute-force n²
+    scan the DuckDB oracle runs.  Output: (id1, id2, hamming).
+    ``cleanup`` as in :func:`minhash_lsh_pairs`."""
+    sig = simhash_df_md5(df, id_col, text_col)
+    return _simhash_banded_pairs(df, sig, 15, max_hamming, id_col, cleanup)
 
 
 def simhash_pairs(
@@ -448,40 +507,12 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cleanup: bool = True,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit banding.
 
-    Sound for max_hamming ≤ 3: two signatures within distance 3 agree
-    exactly on ≥1 of the 4 chunks (pigeonhole)."""
-    sig = simhash_df(df, id_col, text_col).persist()
-    chunks = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("cval"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk", "cc.cval")
-    cand = (
-        chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk", "cval"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("id1"),
-            F.col("y.doc_id").alias("id2"),
-            F.col("x.simhash").alias("s1"),
-            F.col("y.simhash").alias("s2"),
-        )
-        .distinct()
-    )
-    ham = cand.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
-    return ham.filter(F.col("hamming") <= max_hamming).select("id1", "id2", "hamming")
+    Complete only for max_hamming ≤ 3: two signatures within distance 3
+    agree exactly on ≥1 of the 4 chunks (pigeonhole); larger values
+    raise ValueError.  ``cleanup`` as in :func:`minhash_lsh_pairs`."""
+    sig = simhash_df(df, id_col, text_col)
+    return _simhash_banded_pairs(df, sig, 16, max_hamming, id_col, cleanup)

@@ -27,19 +27,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
     """Exact top-k most frequent values of ``col`` with a deterministic
     tie-break (count desc, value asc) — TopKAggregate's contract,
-    computed exactly: partial-agg groupBy + TakeOrderedAndProject."""
+    computed exactly: partial-agg groupBy + TakeOrderedAndProject.
+
+    The rank column is derived from the (≤ k-row) sorted take on the
+    driver rather than an unpartitioned Window.orderBy — that pattern is
+    a single-task trap if ever reused before the limit."""
     counted = df.groupBy(F.col(col).alias("value")).agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("value"))
-    return (
-        counted.orderBy(F.desc("cnt"), F.asc("value"))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+    rows = counted.orderBy(F.desc("cnt"), F.asc("value")).limit(k).collect()
+    val_t = dict(counted.dtypes)["value"]
+    return df.sparkSession.createDataFrame(
+        [(r["value"], int(r["cnt"]), i + 1) for i, r in enumerate(rows)],
+        schema=f"value {val_t}, cnt long, rank long",
     )
 
 
@@ -49,6 +52,15 @@ def equi_width_histogram(df: DataFrame, col: str, bins: int = 16) -> DataFrame:
     (a 2-double collect), one partial-agg groupBy on the bin id."""
     spark = df.sparkSession
     r = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+    if r["lo"] is None or r["hi"] is None:
+        # Entirely-NULL column or empty table: a zero-filled grid with
+        # NULL bounds (no range exists to bin over).
+        return spark.range(bins).select(
+            F.col("id").alias("bin"),
+            F.lit(None).cast("double").alias("bin_lo"),
+            F.lit(None).cast("double").alias("bin_hi"),
+            F.lit(0).cast("long").alias("cnt"),
+        )
     lo, hi = float(r["lo"]), float(r["hi"])
     width = (hi - lo) or 1.0
     bin_col = F.least(

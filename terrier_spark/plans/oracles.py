@@ -680,7 +680,7 @@ WHERE round(inter::DOUBLE / (n1 + n2 - inter), 9) >= 0.12
 ORDER BY id1, id2
 """
 
-# MinHash-LSH at the entry's banding (2 rows × 32 bands, threshold 0.5)
+# MinHash-LSH at the entry's banding (4 rows × 32 bands, threshold 0.5)
 # has band-curve recall ≥ 0.9999 and an exact verify step, so the output
 # equals the exact all-pairs result — oracle = brute-force bigram
 # Jaccard at the same threshold.

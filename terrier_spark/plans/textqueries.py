@@ -24,17 +24,26 @@ from terrier_spark.sources.tables import load_table
 BM25_QUERY = "fast merge sort join"
 KNN_QUERY_VEC_ID = 0
 
-# One build per (session, sf_dir) for the three ir_bm25_* entries: the
-# driver invokes them back-to-back in one session over static testdata,
-# and the query paths (exploded / conjunctive / block-WAND) are what
-# each entry actually exercises — rebuilding the identical index three
-# times only burns the correctness run's time budget.
+# One build per (session, sf_dir) for the ir_bm25_* entries: the driver
+# invokes them back-to-back in one session over static testdata, and the
+# query paths (exploded / conjunctive / block-WAND / batch) are what
+# each entry actually exercises — rebuilding the identical index each
+# time only burns the correctness run's time budget.  The cache is
+# BOUNDED: beyond _INDEX_CACHE_MAX entries the oldest index is evicted
+# and its persisted tables released, so a long-lived session sweeping
+# many corpora cannot accumulate pinned blocks (VERDICT r2 finding).
 _INDEX_CACHE: dict = {}
+_INDEX_CACHE_MAX = 2
 
 
 def _built_index(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _INDEX_CACHE:
+        while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
+            _, old = _INDEX_CACHE.popitem()
+            for h in (old.blocks, old.lexicon, old.docmap):
+                if h is not None:
+                    h.unpersist()
         d = _docs(spark, sf_dir)
         _INDEX_CACHE[key] = build_index(d, id_col="doc_id", text_col="text")
     return _INDEX_CACHE[key]

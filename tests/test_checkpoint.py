@@ -126,3 +126,48 @@ def test_input_change_triggers_rebuild(spark, corpus_sdf, tmp_path):
     with open(f"{out}/manifest.jsonl") as f:
         lines = [l for l in f if l.strip()]
     assert len(lines) == 4  # both shards rebuilt (fingerprint mismatch)
+
+
+def test_shrunk_to_empty_shard_is_deleted(spark, corpus_sdf, tmp_path):
+    """ADVICE r2 (high): dynamic partition overwrite only replaces
+    partitions present in the new data, so a shard whose input shrank to
+    ZERO rows kept its stale dir and resurrected deleted docs.  Rebuild
+    with one shard's docs entirely removed: its dir must be gone, the
+    output must contain no deleted doc, and its manifest row must say
+    n_rows=0 / n_postings=0."""
+    import os
+
+    out = str(tmp_path / "ckpt_shrink")
+    build_postings_checkpointed(corpus_sdf, out, n_shards=N_SHARDS, text_col="content")
+    shard_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_SHARDS))
+    kept = corpus_sdf.filter(shard_col != 2)
+    removed_ids = {
+        r["doc_id"] for r in corpus_sdf.filter(shard_col == 2).select("doc_id").collect()
+    }
+    assert removed_ids  # the scenario is real on this corpus
+    posts = build_postings_checkpointed(kept, out, n_shards=N_SHARDS, text_col="content")
+    assert not os.path.isdir(os.path.join(out, "shard=2"))
+    got_ids = {r["doc_id"] for r in posts.select("doc_id").distinct().collect()}
+    assert not (got_ids & removed_ids)
+    man = read_manifest(out)
+    assert man[2].status == "COMPLETE"
+    assert man[2].n_rows == 0 and man[2].n_postings == 0
+
+
+def test_dirty_outdir_fresh_run_drops_stale_shards(spark, corpus_sdf, tmp_path):
+    """resume=False over a dirty out_dir must not leak stale shard dirs
+    for shards that are empty in the new input."""
+    import os
+
+    out = str(tmp_path / "ckpt_dirty")
+    build_postings_checkpointed(corpus_sdf, out, n_shards=N_SHARDS, text_col="content")
+    shard_col = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_SHARDS))
+    only_one = corpus_sdf.filter(shard_col == 0)
+    posts = build_postings_checkpointed(
+        only_one, out, n_shards=N_SHARDS, text_col="content", resume=False
+    )
+    for s in range(1, N_SHARDS):
+        assert not os.path.isdir(os.path.join(out, f"shard={s}"))
+    assert posts.count() == posts.filter(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_SHARDS)) == 0
+    ).count()

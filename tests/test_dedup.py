@@ -105,3 +105,30 @@ def test_simhash_md5_banding_complete_vs_bruteforce(docs):
                 brute.add((x, y))
     got = _pairs(dedup.simhash_pairs_md5(docs, max_hamming=3))
     assert got == brute
+
+
+def test_simhash_max_hamming_validation(docs):
+    """4-chunk banding is only complete for d ≤ 3 — larger values must
+    raise instead of silently losing pairs (ADVICE r2)."""
+    for fn in (dedup.simhash_pairs, dedup.simhash_pairs_md5):
+        with pytest.raises(ValueError, match="max_hamming"):
+            fn(docs, max_hamming=4)
+
+
+def test_shingle_arrays_ascii_whitespace_matches_jvm():
+    """Python shingling must split exactly like the JVM regex \\s+
+    (ASCII): a non-breaking space is NOT a separator on either path."""
+    texts = ["foo bar baz qux", "a\tb\nc d"]
+    got = dedup._shingle_arrays(texts, 2)
+    assert set(got[0]) == {"foo bar baz", "baz qux"}
+    assert set(got[1]) == {"a b", "b c", "c d"}
+
+
+def test_pair_ops_leave_no_persisted_rdds(spark, docs):
+    """Cache hygiene (VERDICT r2): the LSH/simhash pair operators must
+    release every cache they create before returning."""
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    dedup.minhash_lsh_pairs(docs, threshold=0.5, num_perm=128, bands=32, n=2).count()
+    dedup.simhash_pairs_md5(docs, max_hamming=3).count()
+    assert jsc.getPersistentRDDs().size() == before

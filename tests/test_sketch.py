@@ -87,3 +87,14 @@ def test_count_min_overestimates(terms):
         # (per-row bound holds in expectation; 8x slack keeps the test
         # deterministic-robust for this fixed seed/data).
         assert r["estimate"] - r["true_cnt"] <= 8 * 2.718 * total / 256
+
+
+def test_histogram_all_null_column(spark):
+    """ADVICE r2: an entirely-NULL column must yield a zero-filled grid,
+    not a TypeError."""
+    from terrier_spark.operators import sketch
+
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    out = sketch.equi_width_histogram(df, "x", bins=4).collect()
+    assert len(out) == 4
+    assert all(r["cnt"] == 0 and r["bin_lo"] is None for r in out)
