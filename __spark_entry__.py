@@ -36,8 +36,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational operator inventory (SURVEY.md §2)
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
+        "q4_order_priority": R.q4_order_priority,
         "q5_local_supplier": R.q5_local_supplier,
         "q6_revenue": R.q6_revenue,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q11_important_suppliers": R.q11_important_suppliers,
+        "q16_supplier_parts": R.q16_supplier_parts,
+        "q18_large_orders": R.q18_large_orders,
+        "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
         "q_topk_orders": R.q_topk_orders,
         "q_limit_offset": R.q_limit_offset,
         "q_distinct": R.q_distinct,

@@ -82,6 +82,92 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_quantity < 24
 """
 
+ORACLES["q4_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["q7_volume_shipping"] = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 6)::DOUBLE AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN lineitem  ON l_suppkey   = s_suppkey
+    JOIN orders    ON o_orderkey  = l_orderkey
+    JOIN customer  ON c_custkey   = o_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+        OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+      AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+ORACLES["q11_important_suppliers"] = """
+SELECT l_suppkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 6)::DOUBLE AS total_value
+FROM lineitem
+GROUP BY l_suppkey
+HAVING sum(l_extendedprice * (1 - l_discount)) >
+       1.02 * (SELECT sum(l_extendedprice * (1 - l_discount))
+                      / count(DISTINCT l_suppkey)
+               FROM lineitem)
+ORDER BY l_suppkey
+"""
+
+ORACLES["q16_supplier_parts"] = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES["q18_large_orders"] = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 6)::DOUBLE AS o_totalprice,
+       round(sum(l_quantity), 6)::DOUBLE AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY round(o_totalprice, 6) DESC, o_orderkey
+LIMIT 100
+"""
+
+ORACLES["q19_disjunctive_revenue"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 6)::DOUBLE AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 40
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
 ORACLES["q_topk_orders"] = """
 SELECT o_orderkey, o_totalprice
 FROM orders

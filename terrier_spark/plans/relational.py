@@ -135,6 +135,170 @@ def q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (reference workload runs Q4: workload.cpp:93) —
+    correlated EXISTS with a non-equi conjunct feeding an aggregation:
+    orders in a 9-month window having ≥1 lineitem shipped after the
+    order date, counted per priority.  The EXISTS decorrelates to a
+    left-semi join with a compound (equi + range) condition."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sem = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog (workload.cpp:95): 6-way join with TWO roles of
+    the nation table, a disjunctive nation-pair predicate, a shipdate
+    range, and extract(year) in the grouping key."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_19")
+    ) | (
+        (F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_13")
+    )
+    return (
+        s.join(n1, s["s_nationkey"] == F.col("n1_key"))
+        .join(li, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(n2, c["c_nationkey"] == F.col("n2_key"))
+        .filter(
+            pair
+            & (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.bround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (workload.cpp:97): HAVING against a SCALAR
+    SUBQUERY over the same table (suppliers whose lineitem value exceeds
+    1.02× the per-supplier average).  The testdata has no partsupp, so
+    supplier value = Σ l_extendedprice·(1-l_discount)."""
+    spark_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS total_value
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING SUM(l_extendedprice * (1 - l_discount)) >
+               1.02 * (SELECT SUM(l_extendedprice * (1 - l_discount))
+                              / COUNT(DISTINCT l_suppkey)
+                       FROM lineitem)
+        ORDER BY l_suppkey
+        """
+    )
+
+
+def q16_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (workload.cpp:98): NOT IN subquery (null-aware
+    anti join) + COUNT(DISTINCT) + negated LIKE + IN-list, grouped over
+    part attributes."""
+    spark_views(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog (workload.cpp:99): IN over a GROUPED subquery
+    with HAVING (orders whose total quantity exceeds 250), re-joined and
+    re-aggregated with customer context, top-100."""
+    spark_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 6) AS o_totalprice,
+               ROUND(SUM(l_quantity), 6) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog (workload.cpp:100): a 3-branch DISJUNCTIVE
+    multi-predicate over the part⋈lineitem join (brand × size-band ×
+    quantity-band per branch) feeding a static aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 15)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 25)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#21")
+        & F.col("p_size").between(20, 40)
+        & F.col("l_quantity").between(20, 35)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        F.bround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY + LIMIT → TakeOrderedAndProject (reference TopK §2.5)."""
     o = load_table(spark, sf_dir, "orders")

@@ -80,3 +80,31 @@ def test_bm25_exploded_broadcasts_query_terms(spark, spark_index):
     assert "BroadcastHashJoin" in plan
     # top-k is a bounded TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_semi_join_not_cartesian(spark):
+    """Q4's EXISTS decorrelates to a left-semi join whose compound
+    (equi + range) condition must plan as a hash/SMJ semi, never BNLJ."""
+    plan = plan_of(R.q4_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunction_reaches_scan(spark):
+    """Q19's 3-branch disjunction: the common join key must still be an
+    equi hash join, and the brand/size predicates prune part columns."""
+    plan = plan_of(R.q19_disjunctive_revenue(spark, SF_DIR))
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_every_query_entry_has_oracle_or_is_documented():
+    """Driver-contract sync: every queries() entry carries an oracle
+    except the single documented rows-only ANN entry."""
+    import __spark_entry__ as E
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    no_oracle = set(qs) - set(os_)
+    assert no_oracle == {"emb_ivf_topk"}, no_oracle
+    assert not (set(os_) - set(qs)), "orphan oracle keys"
