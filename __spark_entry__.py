@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_bm25_topk": T.ir_bm25_topk,
         "ir_bm25_topk_wand": T.ir_bm25_topk_wand,
         "ir_bm25_topk_and": T.ir_bm25_topk_and,
+        "ir_bm25_batch": T.ir_bm25_batch,
         # text analysis
         "text_token_counts": T.text_token_counts,
         "text_quality": T.text_quality,

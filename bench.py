@@ -126,6 +126,22 @@ def main() -> None:
     total += timings["ir_bm25_blocks_warm"]
     print(f"# bm25 warm query mean: {bm25_mean:.3f}s", file=sys.stderr)
 
+    # Whole-query-set batch evaluation: the SAME 5 queries in ONE pass
+    # (shared scan/decode, one window for all top-ks) — compare against
+    # 5 × ir_bm25_query_warm for the amortization factor.
+    from terrier_spark.operators.score import bm25_topk_batch
+
+    t0 = time.monotonic()
+    bm25_topk_batch(idx, {f"q{i}": q for i, q in enumerate(queries)}, 10).collect()
+    batch_s = time.monotonic() - t0
+    timings["ir_bm25_batch5_warm"] = round(batch_s, 3)
+    total += batch_s
+    print(
+        f"# bm25 batch (5 queries, one pass): {batch_s:.3f}s = "
+        f"{batch_s / len(queries):.3f}s/query vs {bm25_mean:.3f}s sequential",
+        file=sys.stderr,
+    )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline query wall-clock (relational + IR + dedup + similarity) & index-build throughput",

@@ -257,6 +257,158 @@ def bm25_topk_conjunctive(
     )
 
 
+_BATCH_SCHEMA = StructType(
+    [
+        StructField("qid", LongType(), False),
+        StructField("docno", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+def bm25_topk_batch(
+    index: InvertedIndex,
+    queries: dict[str, str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Whole-query-set BM25 evaluation in ONE pass over the index.
+
+    The reference harness executes entire query sets per run
+    (/root/reference/test/test_util/tpch/workload.cpp:88-116,
+    benchmark/runner/tpch_runner.cpp:85-100); the single-query paths
+    above cost 1-2 driver round-trips each, i.e. Q chained jobs for Q
+    queries.  This amortizes everything shared:
+
+    - ONE lexicon lookup for the union of all query terms (one collect,
+      not Q);
+    - ONE filtered scan of the block table (`term IN all_terms` pushed
+      to the parquet/cache scan);
+    - each candidate block decoded and scored ONCE even when several
+      queries share its term — BM25 partials are query-independent
+      given the global idf, so per-query work inside the Arrow kernel
+      is just a masked per-doc sum;
+    - per-query top-k extracted with a qid-partitioned window over the
+      (≤ buckets × Q × k)-row bucket-local union, then ONE broadcast
+      join against the docmap for all queries together.
+
+    Returns (qid, doc_id, docno, score, rank) with rank 1..k per qid,
+    ranked by (score desc, docno asc) — rank-identical per query to
+    bm25_topk_exploded / the oracle.  Queries with no live terms
+    contribute zero rows.  Disjunctive (OR) semantics, unpruned: the
+    block-max threshold is per-query state that would break the
+    shared-decode amortization; at Q queries the decode sharing already
+    exceeds what single-query WAND saves.
+    """
+    spark = index.blocks.sparkSession
+    qids = sorted(queries)
+    qid_no = {q: i for i, q in enumerate(qids)}
+    qterms = {q: _query_terms(queries[q], stem=index.stem) for q in qids}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    empty = spark.createDataFrame(
+        [], "qid string, doc_id string, docno long, score double, rank long"
+    )
+    if not all_terms:
+        return empty
+    lex_rows = (
+        index.lexicon.filter(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    )
+    idf_map = {
+        r["term"]: math.log((index.num_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+        for r in lex_rows
+    }
+    if not idf_map:
+        return empty
+    live_qterms = {q: [t for t in ts if t in idf_map] for q, ts in qterms.items()}
+    avgdl, knum = index.avgdl, k
+
+    bstate = spark.sparkContext.broadcast((idf_map, live_qterms, qid_no))
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        idfs, lqt, qno = bstate.value
+        if not len(pdf):
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype=np.int64),
+                    "docno": pd.Series(dtype=np.int64),
+                    "score": pd.Series(dtype=np.float64),
+                }
+            )
+        # decode + score each block ONCE (shared across queries)
+        term_ids = {t: i for i, t in enumerate(sorted(idfs))}
+        tid_all: list[np.ndarray] = []
+        dn_all: list[np.ndarray] = []
+        sc_all: list[np.ndarray] = []
+        for row in pdf.itertuples(index=False):  # per block, not per posting
+            docnos, tfs = decode_posting_list(bytes(row.docno_blob), bytes(row.tf_blob))
+            dls = vbyte_decode(bytes(row.dl_blob)).astype(np.float64)
+            tfsf = tfs.astype(np.float64)
+            partial = (
+                idfs[row.term] * tfsf * (k1 + 1.0)
+                / (tfsf + k1 * (1.0 - b + b * dls / avgdl))
+            )
+            tid_all.append(np.full(len(docnos), term_ids[row.term], dtype=np.int32))
+            dn_all.append(docnos.astype(np.int64))
+            sc_all.append(partial)
+        tid = np.concatenate(tid_all)
+        dn = np.concatenate(dn_all)
+        sc = np.concatenate(sc_all)
+        outs = []
+        for q, terms in lqt.items():
+            tids = [term_ids[t] for t in terms if t in term_ids]
+            if not tids:
+                continue
+            mask = np.isin(tid, tids)
+            if not mask.any():
+                continue
+            sums = pd.Series(sc[mask]).groupby(dn[mask]).sum()
+            qf = pd.DataFrame(
+                {
+                    "docno": sums.index.to_numpy(np.int64),
+                    "score": np.round(sums.to_numpy(), 9),
+                }
+            )
+            qf = qf.sort_values(["score", "docno"], ascending=[False, True]).head(knum)
+            qf.insert(0, "qid", np.int64(qno[q]))
+            outs.append(qf)
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype=np.int64),
+                    "docno": pd.Series(dtype=np.int64),
+                    "score": pd.Series(dtype=np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    cand = index.blocks.filter(F.col("term").isin(all_terms))
+    local = cand.groupBy("bucket").applyInPandas(score_bucket, schema=_BATCH_SCHEMA)
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docno"))
+    top = (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    qid_df = spark.createDataFrame(
+        [(i, q) for q, i in qid_no.items()], "qid long, qid_s string"
+    )
+    # Q·k rows — broadcast into the docmap join, never shuffle the docmap.
+    return (
+        index.docmap.select("doc_id", "docno")
+        .join(F.broadcast(top), "docno")
+        .join(F.broadcast(qid_df), "qid")
+        .select(
+            F.col("qid_s").alias("qid"), "doc_id", "docno", "score", "rank"
+        )
+        .orderBy("qid", "rank")
+    )
+
+
 def wand_prune_stats(
     index: InvertedIndex, query: str, k: int = 10,
     k1: float = BM25_K1, b: float = BM25_B,

@@ -561,8 +561,8 @@ FROM dl
 """
 
 
-def _bm25_sql() -> str:
-    terms = _bm25_terms()
+def _bm25_sql(terms: str | None = None) -> str:
+    terms = terms or _bm25_terms()
     return f"""
 WITH toks AS (
     SELECT doc_id,
@@ -617,6 +617,28 @@ ORACLES["ir_bm25_topk"] = _bm25_sql()
 # The WAND block path is rank-identical by construction — same oracle.
 ORACLES["ir_bm25_topk_wand"] = _bm25_sql()
 ORACLES["ir_bm25_topk_and"] = _bm25_and_sql()
+
+
+def _bm25_batch_sql() -> str:
+    """Per-query oracle twin of ir_bm25_batch: the single-query SQL,
+    wrapped with (qid, rank) and UNION ALL'd over the batch set — the
+    driver compares the whole-set result against the engine's one-pass
+    evaluation."""
+    from terrier_spark.plans.textqueries import BM25_BATCH_QUERIES
+
+    parts = []
+    for qid in sorted(BM25_BATCH_QUERIES):
+        terms = _sql_list(sorted(set(BM25_BATCH_QUERIES[qid].lower().split())))
+        one = _bm25_sql(terms).strip().rstrip()
+        parts.append(
+            f"SELECT '{qid}' AS qid, doc_id, score,\n"
+            f"       row_number() OVER (ORDER BY score DESC, doc_id) AS rank\n"
+            f"FROM (\n{one}\n) q_{qid}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLES["ir_bm25_batch"] = _bm25_batch_sql()
 
 ORACLES["q_heavy_hitters"] = f"""
 WITH toks AS (

@@ -58,3 +58,27 @@ def test_wand_prune_matches_full_scan(spark_index, query):
 def test_k_larger_than_corpus(spark_index, oracle_index):
     exp = oracle.bm25_topk(oracle_index, "int", 10_000)
     _check(bm25_topk_blocks(spark_index, "int", 10_000).collect(), exp)
+
+
+def test_batch_rank_identical_per_query(spark_index, oracle_index):
+    """ir_bm25_batch's one-pass evaluation must be rank-identical per
+    query to the single-query oracle — including empty / fully-absent
+    queries contributing zero rows."""
+    from terrier_spark.operators.score import bm25_topk_batch
+
+    qset = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    rows = bm25_topk_batch(spark_index, qset, 10).collect()
+    by_qid: dict[str, list] = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    for qid, query in qset.items():
+        exp = oracle.bm25_topk(oracle_index, query, 10)
+        got = sorted(by_qid.get(qid, []), key=lambda r: r["rank"])
+        _check(got, exp)
+        assert [r["rank"] for r in got] == list(range(1, len(exp) + 1))
+
+
+def test_batch_empty_query_set(spark_index):
+    from terrier_spark.operators.score import bm25_topk_batch
+
+    assert bm25_topk_batch(spark_index, {}, 10).count() == 0
