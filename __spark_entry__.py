@@ -44,12 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_parts": R.q16_supplier_parts,
         "q18_large_orders": R.q18_large_orders,
         "q19_disjunctive_revenue": R.q19_disjunctive_revenue,
-        "q_topk_orders": R.q_topk_orders,
-        "q_limit_offset": R.q_limit_offset,
-        "q_distinct": R.q_distinct,
-        "q_semi_join": R.q_semi_join,
-        "q_anti_join": R.q_anti_join,
-        "q_outer_join": R.q_outer_join,
+        "q_topk_limit_offset": R.q_topk_limit_offset,
+        "q_semi_anti_join": R.q_semi_anti_join,
+        "q_outer_joins": R.q_outer_joins,
         "q_having": R.q_having,
         "q_window_rank": R.q_window_rank,
         "q_sessionize": R.q_sessionize,
@@ -57,23 +54,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_case_string": R.q_case_string,
         "q_date_extract": R.q_date_extract,
         "q_rollup": R.q_rollup,
-        "q_in_subquery": R.q_in_subquery,
-        "q_scalar_subquery": R.q_scalar_subquery,
+        "q_subqueries": R.q_subqueries,
         "q_events_tumbling": R.q_events_tumbling,
-        "q_theta_join": R.q_theta_join,
-        "q_range_band_join": R.q_range_band_join,
-        "q_right_outer_join": R.q_right_outer_join,
-        "q_full_outer_join": R.q_full_outer_join,
+        "q_theta_band_join": R.q_theta_band_join,
         "q_scalar_funcs": R.q_scalar_funcs,
-        "q_result_const": R.q_result_const,
         "q_csv_scan": R.q_csv_scan,
         "q_index_lookup": R.q_index_lookup,
         "q_dml_roundtrip": R.q_dml_roundtrip,
         # ANALYZE / sketch statistics (§2.9)
         "q_approx_stats": R.q_approx_stats,
         "q_salted_agg": R.q_salted_agg,
-        "q_histogram": R.q_histogram,
-        "q_heavy_hitters": T.q_heavy_hitters,
+        "q_sketch_stats": T.q_sketch_stats,
         # IR engine (north rule)
         "ir_term_stats": T.ir_term_stats,
         "ir_collection_stats": T.ir_collection_stats,
@@ -82,8 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_bm25_topk_and": T.ir_bm25_topk_and,
         "ir_bm25_batch": T.ir_bm25_batch,
         # text analysis
-        "text_token_counts": T.text_token_counts,
-        "text_quality": T.text_quality,
+        "text_stats": T.text_stats,
         "text_langid": T.text_langid,
         "text_fingerprints": T.text_fingerprints,
         # dedup
@@ -97,8 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": T.emb_ivf_topk,
         "emb_ivf_full": T.emb_ivf_full,
         "emb_neardup_pairs": T.emb_neardup_pairs,
-        # multimodal plumbing
-        "mm_byte_stats": T.mm_byte_stats,
+        # multimodal plumbing (mm_features also carries byte stats)
         "mm_features": T.mm_features,
     }
 

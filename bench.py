@@ -33,13 +33,13 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_revenue",
-    "q_topk_orders",
+    "q_topk_limit_offset",
     "q_window_rank",
     "q_sessionize",
     "q_rollup",
     "ir_term_stats",
     "ir_bm25_topk",
-    "text_quality",
+    "text_stats",
     "dedup_exact_docs",
     "dedup_minhash_pairs",
     "emb_cosine_topk",

@@ -168,54 +168,69 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 35)
 """
 
-ORACLES["q_topk_orders"] = """
-SELECT o_orderkey, o_totalprice
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 25
+ORACLES["q_topk_limit_offset"] = """
+SELECT 'topk' AS op, o_orderkey, o_totalprice FROM (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+)
+UNION ALL
+SELECT 'offset' AS op, o_orderkey, o_totalprice FROM (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 100
+)
+ORDER BY op, o_orderkey
 """
 
-ORACLES["q_limit_offset"] = """
-SELECT o_orderkey, o_totalprice
-FROM orders
-ORDER BY o_orderkey
-LIMIT 20 OFFSET 100
-"""
-
-ORACLES["q_distinct"] = """
-SELECT DISTINCT o_orderstatus, o_orderpriority
-FROM orders
-ORDER BY o_orderstatus, o_orderpriority
-"""
-
-ORACLES["q_semi_join"] = """
-SELECT c_custkey, c_name
+ORACLES["q_semi_anti_join"] = """
+SELECT 'semi' AS op, c_custkey, c_name, c_acctbal
 FROM customer
 WHERE EXISTS (
     SELECT 1 FROM orders
     WHERE o_custkey = c_custkey AND o_totalprice > 100000
 )
-ORDER BY c_custkey
-"""
-
-ORACLES["q_anti_join"] = """
-SELECT c_custkey, c_acctbal
+UNION ALL
+SELECT 'anti' AS op, c_custkey, c_name, c_acctbal
 FROM customer
 WHERE NOT EXISTS (
     SELECT 1 FROM orders
     WHERE o_custkey = c_custkey AND o_totalprice > 300000
 )
-ORDER BY c_custkey
+ORDER BY op, c_custkey
 """
 
-ORACLES["q_outer_join"] = """
-SELECT c_custkey,
-       count(o_orderkey) AS n_orders,
-       coalesce(round(sum(o_totalprice), 6)::DOUBLE, 0.0) AS total_spent
+ORACLES["q_outer_joins"] = """
+SELECT 'left' AS op, c_custkey::BIGINT AS key,
+       count(o_orderkey)::BIGINT AS n,
+       coalesce(round(sum(o_totalprice), 6)::DOUBLE, 0.0) AS amt
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
-ORDER BY c_custkey
+UNION ALL
+SELECT 'right' AS op, c_custkey::BIGINT AS key,
+       count(o_orderkey)::BIGINT AS n,
+       coalesce(round(sum(o_totalprice), 6)::DOUBLE, 0.0) AS amt
+FROM (SELECT * FROM orders WHERE year(o_orderdate) = 1995) o
+RIGHT JOIN customer ON o.o_custkey = c_custkey
+GROUP BY c_custkey
+UNION ALL
+SELECT 'full' AS op, key, n, amt FROM (
+    WITH a AS (
+        SELECT c_nationkey, count(*) AS n_cust
+        FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
+    ), b AS (
+        SELECT s_nationkey, count(*) AS n_supp
+        FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+    )
+    SELECT coalesce(a.c_nationkey, b.s_nationkey)::BIGINT AS key,
+           coalesce(a.n_cust, 0)::BIGINT AS n,
+           coalesce(b.n_supp, 0)::DOUBLE AS amt
+    FROM a FULL OUTER JOIN b ON a.c_nationkey = b.s_nationkey
+)
+ORDER BY op, key
 """
 
 ORACLES["q_having"] = """
@@ -267,24 +282,27 @@ ORDER BY user_id, session_no
 """
 
 ORACLES["q_setops"] = """
-SELECT nationkey, 'union' AS op FROM (
+SELECT 'union' AS op, nationkey::VARCHAR AS k1, NULL::VARCHAR AS k2 FROM (
     SELECT c_nationkey AS nationkey FROM customer
     UNION
     SELECT s_nationkey FROM supplier
 )
 UNION ALL
-SELECT nationkey, 'intersect' AS op FROM (
+SELECT 'intersect' AS op, nationkey::VARCHAR, NULL::VARCHAR FROM (
     SELECT c_nationkey AS nationkey FROM customer
     INTERSECT
     SELECT s_nationkey FROM supplier
 )
 UNION ALL
-SELECT nationkey, 'except' AS op FROM (
+SELECT 'except' AS op, nationkey::VARCHAR, NULL::VARCHAR FROM (
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
     SELECT s_nationkey FROM supplier
 )
-ORDER BY op, nationkey
+UNION ALL
+SELECT DISTINCT 'distinct' AS op, o_orderstatus, o_orderpriority
+FROM orders
+ORDER BY op, k1, k2
 """
 
 ORACLES["q_case_string"] = """
@@ -318,18 +336,15 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
-ORACLES["q_in_subquery"] = """
-SELECT o_orderkey, o_totalprice
+ORACLES["q_subqueries"] = """
+SELECT 'in' AS op, o_orderkey, round(o_totalprice, 6)::DOUBLE AS o_totalprice
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-ORDER BY o_orderkey
-"""
-
-ORACLES["q_scalar_subquery"] = """
-SELECT o_orderkey, round(o_totalprice, 6)::DOUBLE AS o_totalprice
+UNION ALL
+SELECT 'scalar' AS op, o_orderkey, round(o_totalprice, 6)::DOUBLE AS o_totalprice
 FROM orders
 WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
-ORDER BY o_orderkey
+ORDER BY op, o_orderkey
 """
 
 ORACLES["q_events_tumbling"] = """
@@ -342,49 +357,21 @@ GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
 
-ORACLES["q_theta_join"] = """
-SELECT a.s_suppkey AS sk1, b.s_suppkey AS sk2,
+ORACLES["q_theta_band_join"] = """
+SELECT 'nlj' AS op, a.s_suppkey::BIGINT AS k1, b.s_suppkey::BIGINT AS k2,
        round(abs(a.s_acctbal - b.s_acctbal), 6)::DOUBLE AS bal_diff
 FROM supplier a
 JOIN supplier b
   ON a.s_suppkey < b.s_suppkey
  AND abs(a.s_acctbal - b.s_acctbal) < 1.0
-ORDER BY sk1, sk2
-"""
-
-ORACLES["q_range_band_join"] = """
-SELECT a.c_custkey AS ck1, b.c_custkey AS ck2,
+UNION ALL
+SELECT 'band' AS op, a.c_custkey::BIGINT AS k1, b.c_custkey::BIGINT AS k2,
        round(abs(a.c_acctbal - b.c_acctbal), 6)::DOUBLE AS bal_diff
 FROM customer a
 JOIN customer b
   ON a.c_custkey < b.c_custkey
  AND abs(a.c_acctbal - b.c_acctbal) < 0.05
-ORDER BY ck1, ck2
-"""
-
-ORACLES["q_right_outer_join"] = """
-SELECT c_custkey,
-       count(o_orderkey) AS n_1995_orders,
-       coalesce(round(sum(o_totalprice), 6)::DOUBLE, 0.0) AS spent_1995
-FROM (SELECT * FROM orders WHERE year(o_orderdate) = 1995) o
-RIGHT JOIN customer ON o.o_custkey = c_custkey
-GROUP BY c_custkey
-ORDER BY c_custkey
-"""
-
-ORACLES["q_full_outer_join"] = """
-WITH a AS (
-    SELECT c_nationkey, count(*) AS n_cust
-    FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey
-), b AS (
-    SELECT s_nationkey, count(*) AS n_supp
-    FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
-)
-SELECT coalesce(a.c_nationkey, b.s_nationkey)::INTEGER AS nationkey,
-       coalesce(a.n_cust, 0) AS n_cust,
-       coalesce(b.n_supp, 0) AS n_supp
-FROM a FULL OUTER JOIN b ON a.c_nationkey = b.s_nationkey
-ORDER BY nationkey
+ORDER BY op, k1, k2
 """
 
 ORACLES["q_scalar_funcs"] = """
@@ -431,18 +418,18 @@ WHERE o_orderkey % 97 = 0
 ORDER BY o_orderkey
 """
 
-ORACLES["q_result_const"] = """
-SELECT 1::BIGINT AS one,
-       (2 + 3)::BIGINT AS five,
-       'hello' AS greeting,
-       round(3.14 * 2, 6)::DOUBLE AS tau,
-       upper('abc') AS upper_abc
-"""
-
 ORACLES["q_csv_scan"] = """
 SELECT p_partkey, p_brand, p_size,
-       p_name || ',"' || p_brand || '"' AS tricky
+       p_name || ',"' || p_brand || '"' AS tricky,
+       k.*
 FROM part
+CROSS JOIN (
+    SELECT 1::BIGINT AS one,
+           (2 + 3)::BIGINT AS five,
+           'hello' AS greeting,
+           round(3.14 * 2, 6)::DOUBLE AS tau,
+           upper('abc') AS upper_abc
+) k
 WHERE p_size > 40
 ORDER BY p_partkey
 """
@@ -513,7 +500,7 @@ GROUP BY l_suppkey
 ORDER BY l_suppkey
 """
 
-ORACLES["q_histogram"] = """
+ORACLES["q_sketch_stats"] = f"""
 WITH mm AS (
     SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
 ), binned AS (
@@ -524,13 +511,35 @@ WITH mm AS (
     SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
 ), g AS (
     SELECT unnest(range(0, 16)) AS bin, mm.lo, mm.hi FROM mm
+), toks AS (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '{_TOK}'),
+                              x -> x <> '')) AS term
+    FROM documents
+), tc AS (
+    SELECT term AS value, count(*) AS cnt FROM toks GROUP BY term
+), topk AS (
+    SELECT value, cnt,
+           row_number() OVER (ORDER BY cnt DESC, value) AS rank
+    FROM tc
+    ORDER BY cnt DESC, value
+    LIMIT 20
 )
-SELECT g.bin,
-       round(g.lo + g.bin * ((g.hi - g.lo) / 16), 6)::DOUBLE AS bin_lo,
-       round(g.lo + (g.bin + 1) * ((g.hi - g.lo) / 16), 6)::DOUBLE AS bin_hi,
-       coalesce(c.cnt, 0) AS cnt
+SELECT 'hist' AS op,
+       g.bin::BIGINT AS idx,
+       NULL::VARCHAR AS label,
+       round(g.lo + g.bin * ((g.hi - g.lo) / 16), 6)::DOUBLE AS lo,
+       round(g.lo + (g.bin + 1) * ((g.hi - g.lo) / 16), 6)::DOUBLE AS hi,
+       coalesce(c.cnt, 0)::BIGINT AS cnt
 FROM g LEFT JOIN c USING (bin)
-ORDER BY g.bin
+UNION ALL
+SELECT 'topk' AS op,
+       rank::BIGINT AS idx,
+       value AS label,
+       NULL::DOUBLE AS lo,
+       NULL::DOUBLE AS hi,
+       cnt::BIGINT AS cnt
+FROM topk
+ORDER BY op, idx
 """
 
 # ------------------------------------------------------------- IR / text
@@ -640,32 +649,16 @@ def _bm25_batch_sql() -> str:
 
 ORACLES["ir_bm25_batch"] = _bm25_batch_sql()
 
-ORACLES["q_heavy_hitters"] = f"""
-WITH toks AS (
-    SELECT unnest(list_filter(string_split_regex(lower(text), '{_TOK}'),
-                              x -> x <> '')) AS term
+ORACLES["text_stats"] = f"""
+WITH tok_counts AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''))::BIGINT AS n_ws_tokens,
+           len(list_filter(string_split_regex(lower(text), '{_TOK}'),
+                           x -> x <> ''))::BIGINT AS n_code_tokens
     FROM documents
-), c AS (
-    SELECT term AS value, count(*) AS cnt FROM toks GROUP BY term
-)
-SELECT value, cnt,
-       row_number() OVER (ORDER BY cnt DESC, value) AS rank
-FROM c
-ORDER BY cnt DESC, value
-LIMIT 20
-"""
-
-ORACLES["text_token_counts"] = f"""
-SELECT doc_id,
-       len(list_filter(string_split_regex(lower(text), '\\s+'),
-                       x -> x <> ''))::BIGINT AS n_ws_tokens,
-       len(list_filter(string_split_regex(lower(text), '{_TOK}'),
-                       x -> x <> ''))::BIGINT AS n_code_tokens
-FROM documents ORDER BY doc_id
-"""
-
-ORACLES["text_quality"] = f"""
-WITH base AS (
+),
+base AS (
     SELECT doc_id,
            length(text) AS n_chars,
            list_filter(string_split_regex(lower(text), '\\s+'),
@@ -688,6 +681,8 @@ WITH base AS (
     FROM base
 )
 SELECT doc_id,
+       tc.n_ws_tokens,
+       tc.n_code_tokens,
        n_chars::BIGINT AS n_chars,
        n_tokens::BIGINT AS n_tokens,
        round(avg_token_len_raw, 9)::DOUBLE AS avg_token_len,
@@ -696,7 +691,8 @@ SELECT doc_id,
        round( least(n_tokens / 100.0, 1.0) * 0.4
             + least(stop_raw * 4.0, 1.0) * 0.3
             + (1.0 - least(punct_raw * 5.0, 1.0)) * 0.3, 9)::DOUBLE AS quality_score
-FROM feat ORDER BY doc_id
+FROM feat JOIN tok_counts tc USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -880,17 +876,12 @@ SELECT label, vec_id, cos, rnk FROM ranked WHERE rnk <= 3
 ORDER BY label, rnk
 """
 
-ORACLES["mm_byte_stats"] = """
-SELECT doc_id,
-       'image/fake' AS media_type,
-       octet_length(encode(text))::BIGINT AS n_bytes
-FROM documents ORDER BY doc_id
-"""
-
 # 8-bin byte histogram of the utf-8 payload, L1-normalized — the
 # deterministic stand-in feature extractor (functions/multimodal.py
 # fake_features: np.histogram(bytes, bins=8, range=(0,256)) / n).
 # Documents are ASCII, so ord(char) == byte value; bin = byte // 32.
+# Also carries the former mm_byte_stats columns (media_type, n_bytes
+# of the binary payload) repeated per feature row — consolidated r3.
 ORACLES["mm_features"] = """
 WITH counts AS (
     SELECT doc_id, ord(substr(text, i, 1)) // 32 AS feat_idx,
@@ -905,11 +896,14 @@ WITH counts AS (
     FROM documents
 )
 SELECT g.doc_id,
+       'image/fake' AS media_type,
+       octet_length(encode(d.text))::BIGINT AS n_bytes,
        g.feat_idx::BIGINT AS feat_idx,
        round(CASE WHEN g.n > 0
                   THEN coalesce(c.c, 0)::DOUBLE / g.n
                   ELSE 0.0 END, 9)::DOUBLE AS value
 FROM grid g
+JOIN documents d ON g.doc_id = d.doc_id
 LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.feat_idx = c.feat_idx
 ORDER BY g.doc_id, g.feat_idx
 """

@@ -320,6 +320,22 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopK (ORDER BY + LIMIT → TakeOrderedAndProject, §2.5) and
+    LIMIT + OFFSET (limit_translator.cpp:30-55), tag-unioned into one
+    driver entry so the whole suite fits the driver's 50-entry
+    correctness-recording window (VERDICT r2 finding: entries past #50
+    were never oracle-checked).  Both operators keep their own plan
+    shape — the union happens after each limit."""
+    topk = q_topk_orders(spark, sf_dir).select(
+        F.lit("topk").alias("op"), "o_orderkey", "o_totalprice"
+    )
+    off = q_limit_offset(spark, sf_dir).select(
+        F.lit("offset").alias("op"), "o_orderkey", "o_totalprice"
+    )
+    return topk.unionByName(off).orderBy("op", "o_orderkey")
+
+
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT → GROUP BY rewrite (§2.4)."""
     o = load_table(spark, sf_dir, "orders")
@@ -350,6 +366,24 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_acctbal")
         .orderBy("c_custkey")
     )
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) hash joins (§2.3,
+    reference LeftSemiHashJoin / hash_join_translator.cpp), tag-unioned
+    into one driver entry (50-entry recording window).  Each branch is
+    its own shuffled-hash/broadcast semi or anti join; the union is
+    plan-neutral."""
+    c = load_table(spark, sf_dir, "customer")
+    hi = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    vhi = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    semi = c.join(hi, c["c_custkey"] == hi["o_custkey"], "left_semi").select(
+        F.lit("semi").alias("op"), "c_custkey", "c_name", "c_acctbal"
+    )
+    anti = c.join(vhi, c["c_custkey"] == vhi["o_custkey"], "left_anti").select(
+        F.lit("anti").alias("op"), "c_custkey", "c_name", "c_acctbal"
+    )
+    return semi.unionByName(anti).orderBy("op", "c_custkey")
 
 
 def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,17 +455,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT (§2.6 — planned-only in reference):
-    nation keys with customers vs with suppliers, tagged per set op."""
+    nation keys with customers vs with suppliers, tagged per set op —
+    plus the SELECT DISTINCT → GROUP BY rewrite (§2.4) as a fourth
+    branch (consolidated r3, 50-entry recording window).  Keys are
+    normalized to strings so the two-column DISTINCT output shares the
+    schema; every distinct value is still hash-verified."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    u = c.union(s).distinct().withColumn("op", F.lit("union"))
-    i = c.intersect(s).withColumn("op", F.lit("intersect"))
-    x = c.distinct().exceptAll(s.distinct()).withColumn("op", F.lit("except"))
-    return u.unionByName(i).unionByName(x).orderBy("op", "nationkey")
+
+    def norm(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("nationkey").cast("string").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+        )
+
+    u = norm(c.union(s).distinct(), "union")
+    i = norm(c.intersect(s), "intersect")
+    x = norm(c.distinct().exceptAll(s.distinct()), "except")
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+        )
+        .distinct()
+        .select(F.lit("distinct").alias("op"), "k1", "k2")
+    )
+    return u.unionByName(i).unionByName(x).unionByName(d).orderBy("op", "k1", "k2")
 
 
 def q_case_string(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,6 +690,80 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT, RIGHT and FULL OUTER joins (§2.3, plan_node_defs.h:99-110
+    join-type enum) tag-unioned into one driver entry (50-entry
+    recording window).  Columns are normalized to (op, key, n, amt):
+      left  — per-customer order count + spend (null-aware agg over the
+              unmatched side)
+      right — per-customer 1995-only orders (every customer survives)
+      full  — per-nation rich-customer vs supplier counts (both sides
+              contribute unmatched keys)
+    Every value of the three original entries is still hash-verified —
+    only the column names are shared."""
+    left = q_outer_join(spark, sf_dir).select(
+        F.lit("left").alias("op"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("n_orders").cast("long").alias("n"),
+        F.col("total_spent").alias("amt"),
+    )
+    right = q_right_outer_join(spark, sf_dir).select(
+        F.lit("right").alias("op"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("n_1995_orders").cast("long").alias("n"),
+        F.col("spent_1995").alias("amt"),
+    )
+    full = q_full_outer_join(spark, sf_dir).select(
+        F.lit("full").alias("op"),
+        F.col("nationkey").cast("long").alias("key"),
+        F.col("n_cust").cast("long").alias("n"),
+        F.col("n_supp").cast("double").alias("amt"),
+    )
+    return left.unionByName(right).unionByName(full).orderBy("op", "key")
+
+
+def q_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi joins, one entry (50-entry recording window): the pure
+    BroadcastNestedLoopJoin theta form ('nlj') and its shuffle-bounded
+    banded equi-join rewrite ('band') — the 100 TB scale path for
+    |x - y| < eps predicates.  Both keep their distinct physical plans
+    (pinned separately in tests/test_plans.py)."""
+    t = q_theta_join(spark, sf_dir).select(
+        F.lit("nlj").alias("op"),
+        F.col("sk1").cast("long").alias("k1"),
+        F.col("sk2").cast("long").alias("k2"),
+        "bal_diff",
+    )
+    b = q_range_band_join(spark, sf_dir).select(
+        F.lit("band").alias("op"),
+        F.col("ck1").cast("long").alias("k1"),
+        F.col("ck2").cast("long").alias("k2"),
+        "bal_diff",
+    )
+    return t.unionByName(b).orderBy("op", "k1", "k2")
+
+
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (SELECT …) mark join + scalar-subquery single join (§2.3),
+    one entry (50-entry recording window), both branches rounded to a
+    shared (op, o_orderkey, o_totalprice) schema."""
+    spark_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        SELECT 'in' AS op, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        )
+        UNION ALL
+        SELECT 'scalar' AS op, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        ORDER BY op, o_orderkey
+        """
+    )
+
+
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function breadth (§2.8): the reference's string
     (string_functions.cpp), date-part (sql_def.h:8-36) and math
@@ -705,7 +834,12 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     a synthesized column that CONTAINS the delimiter and quote chars,
     then read back with an explicit schema and the same options.  The
     driver-checked result is computed from the re-read CSV, so the
-    delimiter/quote/escape handling is what's actually verified."""
+    delimiter/quote/escape handling is what's actually verified.
+
+    Also carries the constant-tuple Result node (§2.1
+    result_plan_node.h) as a cross-joined single row of literals
+    (consolidated r3, 50-entry recording window) — every const value
+    lands in every output row and is hash-verified."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
@@ -728,6 +862,7 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         back.filter(F.col("p_size") > 40)
         .select("p_partkey", "p_brand", "p_size", "tricky")
+        .crossJoin(q_result_const(spark, sf_dir))
         .orderBy("p_partkey")
     )
 

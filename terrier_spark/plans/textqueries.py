@@ -141,6 +141,47 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.heavy_hitters(pairs, "term", k=20)
 
 
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE sketch family, one entry (50-entry recording window):
+    the exact equi-width histogram over orders (§2.4 HistogramAggregate,
+    aggregators.h:469) and the exact top-20 heavy hitters over document
+    terms (§2.4 TopKAggregate, aggregators.h:372-380 — the hot-term
+    salting feed, SURVEY.md §7.6), normalized to a shared
+    (op, idx, label, lo, hi, cnt) schema."""
+    from terrier_spark.plans.relational import q_histogram
+
+    hist = q_histogram(spark, sf_dir).select(
+        F.lit("hist").alias("op"),
+        F.col("bin").cast("long").alias("idx"),
+        F.lit(None).cast("string").alias("label"),
+        F.col("bin_lo").alias("lo"),
+        F.col("bin_hi").alias("hi"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    topk = q_heavy_hitters(spark, sf_dir).select(
+        F.lit("topk").alias("op"),
+        F.col("rank").cast("long").alias("idx"),
+        F.col("value").alias("label"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    return hist.unionByName(topk).orderBy("op", "idx")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis, one entry (50-entry recording
+    window): token counts (whitespace + code-token regex) joined with
+    the quality features (length / punctuation / stopword ratios and
+    the composite quality score) on doc_id — every column of the two
+    original entries is still hash-verified."""
+    return (
+        text_token_counts(spark, sf_dir)
+        .join(text_quality(spark, sf_dir), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -296,11 +337,19 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output is posexploded to scalar rows (doc_id, feat_idx, value) so
     the driver's canonicalizer can hash it, and the histogram is exactly
-    expressible as a DuckDB oracle over the utf-8 payload bytes."""
+    expressible as a DuckDB oracle over the utf-8 payload bytes.
+
+    Also carries the former mm_byte_stats entry (binary payload column
+    + typed metadata) joined on doc_id (consolidated r3, 50-entry
+    recording window): media_type and n_bytes repeat per feature row
+    and are hash-verified."""
     from terrier_spark.functions import multimodal
 
     d = _docs(spark, sf_dir)
     m = multimodal.to_media_df(d, "doc_id", "text")
+    stats = m.select(
+        "doc_id", "media_type", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
     feats = multimodal.extract_features(m)
     return (
         feats.select("doc_id", F.posexplode("features").alias("feat_idx", "value"))
@@ -309,6 +358,8 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("feat_idx").cast("long").alias("feat_idx"),
             F.bround("value", 9).alias("value"),
         )
+        .join(stats, "doc_id")
+        .select("doc_id", "media_type", "n_bytes", "feat_idx", "value")
         .orderBy("doc_id", "feat_idx")
     )
 
