@@ -728,24 +728,39 @@ FROM counted ORDER BY doc_id
 
 ORACLES["text_langid"] = _langid_sql()
 
-ORACLES["text_fingerprints"] = """
+# Winnowing k=8/w=16 with the shared Karp-Rabin polynomial gram hash
+# (text_stats.WINNOW_B/WINNOW_M): hash = sum ord(char_j) * B^(7-j) mod M,
+# exact in BIGINT on both engines.  Certifies the Arrow kernel path.
+def _winnow_sql(k: int = 8, w: int = 16) -> str:
+    from terrier_spark.functions.text_stats import WINNOW_M, winnow_powers
+
+    # {p}::BIGINT: powers fit INTEGER, but ord * power overflows INT32
+    # and DuckDB raises on integer overflow rather than promoting.
+    gram = " + ".join(
+        f"ord(substr(t, (pos + {j})::INTEGER, 1)) * {p}::BIGINT"
+        for j, p in enumerate(winnow_powers(k))
+    )
+    return f"""
 WITH norm AS (
     SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
     FROM documents
 ), grams AS (
     SELECT doc_id, i AS pos,
-           ('0x' || substr(md5(substr(t, i::INTEGER, 8)), 1, 15))::BIGINT AS h
+           ({gram}) % {WINNOW_M} AS h
     FROM (
-        SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS i
-        FROM norm WHERE length(t) >= 8
+        SELECT doc_id, t, unnest(range(1, length(t) - {k - 2})) AS i
+        FROM norm WHERE length(t) >= {k}
     )
 )
 SELECT DISTINCT doc_id,
        min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
 FROM grams
 ORDER BY doc_id, fp
 """
+
+
+ORACLES["text_fingerprints"] = _winnow_sql()
 
 ORACLES["dedup_exact_docs"] = """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -212,8 +212,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints (k=8 char-grams,
-    window 16) — the brief's "document fingerprinting (rolling hash)";
-    md5-prefix hashes make the full pipeline SQL-reproducible."""
+    window 16) — the brief's "document fingerprinting (rolling hash)".
+    Executed path is the Arrow kernel (vectorized Karp-Rabin hash +
+    sliding-window min inside one mapInPandas pass — no per-position
+    shuffle); the polynomial hash is exactly reproducible in DuckDB, so
+    the oracle certifies the kernel value-for-value.  The SQL-shape JVM
+    twin (winnowing_fingerprints_sql_shape) is pinned equal in
+    tests/test_fingerprints.py."""
     from terrier_spark.functions.text_stats import winnowing_fingerprints
 
     d = _docs(spark, sf_dir)
