@@ -161,14 +161,44 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k probing the nprobe nearest clusters (partition pruning:
-    with the assigned table written partitioned by cluster, the scan
-    reads only nprobe/C of the data)."""
+    """ANN top-k probing the nprobe nearest clusters.  When ``assigned``
+    was read from a write_ivf_index layout (hive-partitioned by
+    cluster), the isin filter becomes PartitionFilters on the scan and
+    only nprobe/C of the FILES are read — asserted in
+    tests/test_similarity.py.  On an in-memory assigned frame it's an
+    ordinary filter (full scan, pruned rows)."""
     q = np.asarray(query_vec, dtype=np.float64)
     d = ((centroids - q[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in np.argsort(d)[:nprobe]]
     cand = assigned.filter(F.col("cluster").isin(probe))
     return cosine_topk_pandas(cand, query_vec, k, id_col, vec_col)
+
+
+def write_ivf_index(
+    assigned: DataFrame, centroids: np.ndarray, path: str
+) -> None:
+    """Persist the IVF layout that makes the nprobe/C scan-cost claim
+    physical: vectors hive-partitioned BY CLUSTER (one cluster=K
+    directory each, so a probe's isin predicate prunes whole
+    directories at planning time) plus the centroid table.  Mirrors
+    write_index's partitionBy for postings blocks."""
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(
+        f"{path}/vectors"
+    )
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """(partition-pruned-capable vectors DataFrame, centroids array)."""
+    vecs = spark.read.parquet(f"{path}/vectors")
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    cents = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in crows])
+    return vecs, cents
 
 
 # ------------------------------------------------- embedding near-dup LSH

@@ -93,3 +93,33 @@ def test_neardup_lsh_no_false_positives_tight_banding(emb):
         ).collect()
     }
     assert got <= _brute_pairs(emb, 0.4)
+
+
+def test_ivf_written_layout_partition_prunes(spark, emb, qvec, tmp_path):
+    """The probe over a write_ivf_index layout must be a planning-time
+    partition prune: PartitionFilters on the scan, and only nprobe of
+    the 8 cluster directories' files actually read."""
+    cents = similarity.train_centroids(emb, n_centroids=8, sample=512)
+    assigned = similarity.ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(assigned, cents, path)
+    vecs, cents2 = similarity.load_ivf_index(spark, path)
+    assert np.allclose(cents, cents2)
+
+    top = similarity.ivf_topk(vecs, cents2, qvec, k=25, nprobe=3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    q = np.asarray(qvec, dtype=np.float64)
+    d = ((cents2 - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d)[:3]]
+    cand = vecs.filter(F.col("cluster").isin(probe))
+    files_read = cand.select(F.input_file_name()).distinct().count()
+    files_total = vecs.select(F.input_file_name()).distinct().count()
+    assert files_read < files_total, (files_read, files_total)
+
+    # Pruned result == in-memory-filter result (same probes, same rows).
+    unpruned = similarity.ivf_topk(assigned, cents, qvec, k=25, nprobe=3)
+    assert [tuple(r) for r in top.collect()] == [
+        tuple(r) for r in unpruned.collect()
+    ]
