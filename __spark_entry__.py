@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_bm25_topk_wand": T.ir_bm25_topk_wand,
         "ir_bm25_topk_and": T.ir_bm25_topk_and,
         "ir_bm25_batch": T.ir_bm25_batch,
+        "ir_phrase": T.ir_phrase,
         # text analysis
         "text_stats": T.text_stats,
         "text_langid": T.text_langid,

@@ -1,0 +1,158 @@
+"""Positional postings + phrase queries (SURVEY.md §7.8, deferred in
+rounds 1-2; VERDICT r2 "What's missing" #3).
+
+Terrier-the-IR-engine answers phrase queries from positional posting
+lists; the reference's closest analog is the multi-predicate index scan
+(/root/reference/src/execution/compiler/operator/index_scan_translator.cpp).
+Spark-first re-expression:
+
+- ``positional_postings``: ONE Arrow pass over (doc_id, content) that
+  tokenizes (pinned [^a-z0-9_]+ semantics shared with the tf kernel and
+  the DuckDB oracle) and emits one row per DISTINCT (doc, term) with the
+  sorted in-doc position list — the same output cardinality as the tf
+  postings, so nothing here is per-occurrence rows in the JVM.  Token
+  positions index the kept-token sequence (0-based), so "adjacent"
+  means consecutive positions regardless of the separators between.
+- ``phrase_match``: m-way inner join of the phrase terms' posting rows
+  on doc_id (each side pre-filtered to ONE term — an IN-list scan of
+  the postings table), then the adjacency check runs as a JVM
+  higher-order function over the position arrays: no Python, no
+  re-tokenization, no explode.  Occurrence count = |{p ∈ pos(t0) :
+  p+i ∈ pos(ti) ∀i}|.
+
+Scale: each join side is df(term) rows (one per doc containing the
+term).  Joins start from the full chain and Catalyst/AQE broadcast the
+small sides; a stopword-leading phrase behaves like any IR engine's
+worst case — the rarest-term side bounds the result, and the position
+arrays for hot terms stay bounded by doc length, not corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from terrier_spark.functions.tokenize import TOKEN_PATTERN, py_tokenize_iter
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """(doc_id, term, positions array<int>, dl) — one row per distinct
+    (doc, term); positions are 0-based kept-token indexes, ascending."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"doc_id {id_type}, term string, positions array<int>, dl long"
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            ids = rb.column(0)
+            content = pc.coalesce(rb.column(1), pa.scalar("", pa.string()))
+            n = len(content)
+            if n == 0:
+                continue
+            toks = pc.split_pattern_regex(pc.utf8_lower(content), TOKEN_PATTERN)
+            lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)[keep]
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+            vocab = enc.dictionary
+            if len(doc_idx) == 0:
+                continue
+            # kept-token position within each doc (docs are contiguous
+            # and in order in the flattened stream)
+            counts = np.bincount(doc_idx, minlength=n)
+            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos = (np.arange(len(doc_idx)) - offs[doc_idx]).astype(np.int32)
+            # group to (doc, term) -> sorted position list
+            order = np.lexsort((pos, codes, doc_idx))
+            d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+            grp_change = np.empty(len(d_s), dtype=bool)
+            grp_change[0] = True
+            np.logical_or(
+                d_s[1:] != d_s[:-1], c_s[1:] != c_s[:-1], out=grp_change[1:]
+            )
+            starts = np.flatnonzero(grp_change)
+            offsets = np.concatenate((starts, [len(p_s)])).astype(np.int32)
+            pos_lists = pa.ListArray.from_arrays(offsets, pa.array(p_s, pa.int32()))
+            u_doc, u_code = d_s[starts], c_s[starts]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(u_doc)),
+                    vocab.take(pa.array(u_code)),
+                    pos_lists,
+                    pa.array(counts[u_doc].astype(np.int64)),
+                ],
+                names=["doc_id", "term", "positions", "dl"],
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("content")
+    ).mapInArrow(kernel, out_schema)
+
+
+def phrase_terms(phrase: str) -> list[str]:
+    """Pinned-tokenizer split of the phrase itself."""
+    return next(py_tokenize_iter(iter([phrase])))
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_occ) for docs containing ``phrase`` as consecutive
+    tokens; n_occ counts (possibly overlapping) occurrences.  Pass a
+    cached ``positional_postings`` frame to amortize tokenization across
+    phrase queries."""
+    terms = phrase_terms(phrase)
+    if not terms:
+        raise ValueError("phrase has no tokens under the pinned tokenizer")
+    posts = (
+        positional_postings(df, id_col, text_col) if postings is None else postings
+    )
+    posts = posts.filter(F.col("term").isin(list(set(terms))))
+
+    # one join leg per DISTINCT term (a repeated term reuses its leg)
+    legs: dict[str, DataFrame] = {}
+    for t in set(terms):
+        legs[t] = posts.filter(F.col("term") == t).select(
+            F.col("doc_id"), F.col("positions").alias(f"p_{t}")
+        )
+    joined: DataFrame | None = None
+    for t in dict.fromkeys(terms):  # preserve phrase order, dedup
+        joined = legs[t] if joined is None else joined.join(legs[t], "doc_id")
+
+    # adjacency: p in pos(t0) with p+i in pos(ti) for every i >= 1
+    # (single-parameter closure: PySpark's higher-order-function wrapper
+    # binds an argument to EVERY named lambda parameter, so the usual
+    # default-arg capture trick breaks — capture via the enclosing scope)
+    anchor = F.col(f"p_{terms[0]}")
+
+    def adjacent(x):
+        c = None
+        for i, t in enumerate(terms[1:], start=1):
+            step = F.array_contains(F.col(f"p_{t}"), x + i)
+            c = step if c is None else c & step
+        return c
+
+    if len(terms) == 1:  # single-term phrase: every occurrence matches
+        n_occ = F.size(anchor)
+    else:
+        n_occ = F.size(F.filter(anchor, adjacent))
+    return (
+        joined.select("doc_id", n_occ.alias("n_occ"))
+        .filter(F.col("n_occ") > 0)
+    )

@@ -649,6 +649,40 @@ def _bm25_batch_sql() -> str:
 
 ORACLES["ir_bm25_batch"] = _bm25_batch_sql()
 
+
+def _phrase_sql() -> str:
+    """Positional self-join phrase match: pos table from zipped unnest +
+    generate_subscripts (1-based; adjacency is offset-invariant), one
+    join leg per phrase position, exact overlapping-occurrence count."""
+    from terrier_spark.plans.textqueries import PHRASE_QUERY
+
+    terms = PHRASE_QUERY.lower().split()
+    joins = "\n".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+        f" AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{t}'"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{_TOK}'),
+                       x -> x <> '') AS l
+    FROM documents
+), pos AS (
+    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+    FROM toks
+)
+SELECT p0.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_occ
+FROM pos p0
+{joins}
+WHERE p0.term = '{terms[0]}'
+GROUP BY p0.doc_id
+ORDER BY doc_id
+"""
+
+
+ORACLES["ir_phrase"] = _phrase_sql()
+
 ORACLES["text_stats"] = f"""
 WITH tok_counts AS (
     SELECT doc_id,

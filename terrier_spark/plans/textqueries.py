@@ -36,6 +36,10 @@ BM25_BATCH_QUERIES = {
     "b8": "customer line dup",
 }
 KNN_QUERY_VEC_ID = 0
+# Phrase chosen to match at every test SF and to repeat inside single
+# docs at the driver's sf0.01, so the occurrence COUNT (not just the
+# match set) is oracle-verified.
+PHRASE_QUERY = "part spark line"
 
 # One build per (session, sf_dir) for the ir_bm25_* entries: the driver
 # invokes them back-to-back in one session over static testdata, and the
@@ -127,6 +131,26 @@ def ir_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bm25_topk_batch(idx, BM25_BATCH_QUERIES, 10)
     return out.select(
         "qid", F.col("doc_id").cast("long").alias("doc_id"), "score", "rank"
+    )
+
+
+def ir_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query over positional postings (SURVEY.md §7.8, the
+    round-2 deferral): docs containing PHRASE_QUERY as consecutive
+    tokens, with the exact (overlapping) occurrence count.  One Arrow
+    tokenize pass emits per-(doc, term) position lists; the adjacency
+    check is a JVM higher-order filter over the joined position arrays
+    (operators/phrase.py).  Reference analog: Terrier's positional
+    index / the multi-predicate index scan
+    (src/execution/compiler/operator/index_scan_translator.cpp)."""
+    from terrier_spark.operators.phrase import phrase_match
+
+    d = _docs(spark, sf_dir)
+    return (
+        phrase_match(d, PHRASE_QUERY, id_col="doc_id", text_col="text")
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("n_occ").cast("long").alias("n_occ"))
+        .orderBy("doc_id")
     )
 
 
