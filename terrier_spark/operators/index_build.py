@@ -323,7 +323,12 @@ def _encode_stream(batches) -> "Iterator[pa.RecordBatch]":
     yield _encode_sorted(enc.dictionary, codes, bucket, docno, tf, dl, grp_change)
 
 
-def blocks_df(postings: DataFrame, num_docs: int, target_buckets: int | None = None) -> tuple[DataFrame, int]:
+def blocks_df(
+    postings: DataFrame,
+    num_docs: int,
+    target_buckets: int | None = None,
+    bucket_span: int | None = None,
+) -> tuple[DataFrame, int]:
     """Compressed block table. bucket = docno // span (range salt).
 
     Physical plan: shuffle on (term, bucket) — the same two-phase shape
@@ -331,13 +336,18 @@ def blocks_df(postings: DataFrame, num_docs: int, target_buckets: int | None = N
     partition-level Arrow kernel that integer-sorts and block-encodes
     (no JVM sort, no per-group Arrow round-trips).
     """
-    if target_buckets is None:
-        # Deterministic (NOT core-count-dependent): the index layout must
-        # be identical whatever cluster built it.  64 buckets give ample
-        # query-path parallelism at test scale; the span cap takes over
-        # at large corpora (10^12 docs → ~4M buckets of ≤2^18 docs).
-        target_buckets = DEFAULT_TARGET_BUCKETS
-    span = max(1, min(-(-num_docs // target_buckets), MAX_BUCKET_SPAN))  # ceil, capped
+    if bucket_span is not None:
+        # Caller-pinned span: segment ingestion needs EVERY segment on
+        # the same span so merge_indexes can rebase across them.
+        span = bucket_span
+    else:
+        if target_buckets is None:
+            # Deterministic (NOT core-count-dependent): the index layout must
+            # be identical whatever cluster built it.  64 buckets give ample
+            # query-path parallelism at test scale; the span cap takes over
+            # at large corpora (10^12 docs → ~4M buckets of ≤2^18 docs).
+            target_buckets = DEFAULT_TARGET_BUCKETS
+        span = max(1, min(-(-num_docs // target_buckets), MAX_BUCKET_SPAN))  # ceil, capped
     with_bucket = postings.withColumn("bucket", (F.col("docno") / span).cast("long"))
     # Explicit partition count: repartition(cols) without N is subject to
     # AQE partition coalescing, which at modest shuffle sizes collapses
@@ -571,6 +581,7 @@ def _build_index_aligned(
     target_buckets: int | None,
     cache: bool,
     stem: bool = False,
+    bucket_span: int | None = None,
 ) -> InvertedIndex | None:
     """Partition-aligned build: ONE shuffle of the corpus content, then
     everything — docno assignment, tokenization, per-doc tf aggregation,
@@ -617,9 +628,12 @@ def _build_index_aligned(
         offsets[int(row["pidx"])] = acc
         acc += row["cnt"]
     num_docs = acc
-    if target_buckets is None:
-        target_buckets = DEFAULT_TARGET_BUCKETS
-    span = max(1, min(-(-num_docs // max(target_buckets, 1)), MAX_BUCKET_SPAN))
+    if bucket_span is not None:
+        span = bucket_span  # segment ingestion: pinned across segments
+    else:
+        if target_buckets is None:
+            target_buckets = DEFAULT_TARGET_BUCKETS
+        span = max(1, min(-(-num_docs // max(target_buckets, 1)), MAX_BUCKET_SPAN))
     if _prof:
         print(f"[build] docnos: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
         _t0 = _time.monotonic()
@@ -681,6 +695,7 @@ def build_index(
     cache: bool = True,
     strategy: str = "aligned",
     stem: bool = False,
+    bucket_span: int | None = None,
 ) -> InvertedIndex:
     """End-to-end build. Input: any (id, text) DataFrame.
 
@@ -708,7 +723,9 @@ def build_index(
     kernel.  Collection stats come for free: num_docs from the docno
     pass, num_tokens = Σ cf over the (compact) lexicon."""
     if strategy == "aligned":
-        idx = _build_index_aligned(docs, id_col, text_col, target_buckets, cache, stem)
+        idx = _build_index_aligned(
+            docs, id_col, text_col, target_buckets, cache, stem, bucket_span
+        )
         if idx is not None:
             return idx
         # ids not alignable — fall through to the shuffle strategy
@@ -741,7 +758,7 @@ def build_index(
     else:
         kernel_out = tokenize_postings(docs, id_col, text_col, stem=stem)
         post = postings_df(kernel_out, docmap, num_docs)
-    blocks, span = blocks_df(post, num_docs, target_buckets)
+    blocks, span = blocks_df(post, num_docs, target_buckets, bucket_span)
     if cache:
         blocks = blocks.persist()
         blocks.count()

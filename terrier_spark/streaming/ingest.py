@@ -1,0 +1,179 @@
+"""Continuous index ingestion: doc stream → per-batch segments → live
+index (VERDICT r2 "What's missing" #4).
+
+The reference's WAL/replay loop
+(/root/reference/src/storage/recovery/recovery_manager.cpp:32-48)
+re-applies logged writes to bring tables and indexes up to date; the
+Spark-first analog of "indexes follow the data continuously" is
+Structured Streaming + Lucene-style segments:
+
+  readStream(docs) → foreachBatch:
+      build_index(batch, bucket_span=PINNED)     # O(batch), not O(total)
+      write_index(segment_dir)                   # immutable segment
+      manifest += segment                        # atomic rename commit
+  query: open_live_index() = fold merge_indexes over the manifest
+  maintenance: compact() folds all segments into one and rewrites
+      the manifest (again an atomic swap)
+
+Why this shape scales: each micro-batch costs work proportional to the
+BATCH (tokenize + encode one segment), never a rewrite of the whole
+index.  merge_indexes is lazy — it rebases docnos/buckets of the later
+segment's block table in one small Arrow kernel and unions DataFrames,
+so opening a live index with k segments plans k-1 rebases over compact
+block tables, and compaction (which materializes the fold) is an
+explicit, schedulable operation exactly like Lucene's segment merges.
+Exactly-once segment commits come from the pairing of Structured
+Streaming's checkpointed batch ids with the atomic manifest rename: a
+batch replayed after a crash overwrites its own segment dir and
+re-commits the same manifest entry idempotently.
+
+All segments are built with a PINNED bucket_span (merge_indexes
+requires equal spans to rebase block/bucket alignment); the default
+matches MAX_BUCKET_SPAN so block layout is identical to a large batch
+build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from terrier_spark.operators.index_build import (
+    MAX_BUCKET_SPAN,
+    InvertedIndex,
+    build_index,
+    load_index,
+    merge_indexes,
+    write_index,
+)
+
+MANIFEST = "manifest.json"
+
+
+def _read_manifest(index_dir: str) -> list[dict]:
+    p = os.path.join(index_dir, MANIFEST)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)["segments"]
+
+
+def _commit_manifest(index_dir: str, segments: list[dict]) -> None:
+    """Atomic manifest swap — the segment becomes visible only here."""
+    p = os.path.join(index_dir, MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"segments": segments}, f, indent=1)
+    os.replace(tmp, p)
+
+
+@dataclass
+class IngestResult:
+    batches: int
+    docs: int
+
+
+def ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    bucket_span: int = MAX_BUCKET_SPAN,
+    stem: bool = False,
+) -> int:
+    """Build + commit ONE segment from a micro-batch; returns docs
+    ingested.  Idempotent per batch_id (crash-replay safe): the segment
+    dir is overwritten and the manifest entry upserted."""
+    n = batch.count()
+    if n == 0:
+        return 0
+    seg_name = f"seg_{batch_id:08d}"
+    seg_dir = os.path.join(index_dir, seg_name)
+    idx = build_index(
+        batch, id_col=id_col, text_col=text_col,
+        bucket_span=bucket_span, stem=stem,
+    )
+    try:
+        write_index(idx, seg_dir)
+    finally:
+        for h in (idx.blocks, idx.lexicon, idx.docmap):
+            if h is not None:
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
+    segments = [s for s in _read_manifest(index_dir) if s["name"] != seg_name]
+    segments.append({"name": seg_name, "batch_id": batch_id, "num_docs": n})
+    segments.sort(key=lambda s: s["batch_id"])
+    _commit_manifest(index_dir, segments)
+    return n
+
+
+def ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    bucket_span: int = MAX_BUCKET_SPAN,
+    stem: bool = False,
+    available_now: bool = True,
+):
+    """Attach the segment builder to a streaming DataFrame.  With
+    ``available_now`` the query drains what exists and stops (the test /
+    backfill mode); otherwise it runs until stopped.  The checkpoint
+    dir gives exactly-once batch ids across restarts."""
+    os.makedirs(index_dir, exist_ok=True)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        ingest_batch(
+            batch, batch_id, index_dir,
+            id_col=id_col, text_col=text_col,
+            bucket_span=bucket_span, stem=stem,
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def open_live_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
+    """Current queryable index: fold merge_indexes over the manifest
+    (segment-id order, so docnos are segment-major and stable)."""
+    segments = _read_manifest(index_dir)
+    if not segments:
+        raise FileNotFoundError(f"no segments committed under {index_dir}")
+    merged: InvertedIndex | None = None
+    for s in segments:
+        seg = load_index(spark, os.path.join(index_dir, s["name"]))
+        merged = seg if merged is None else merge_indexes(merged, seg)
+    return merged
+
+
+def compact(spark: SparkSession, index_dir: str) -> InvertedIndex:
+    """Fold all segments into one materialized segment and swap the
+    manifest — Lucene-style segment merge as an explicit maintenance
+    op.  Readers opening the index concurrently see either the old
+    segment list or the single compacted one (atomic rename), never a
+    mix."""
+    segments = _read_manifest(index_dir)
+    if len(segments) <= 1:
+        return open_live_index(spark, index_dir)
+    merged = open_live_index(spark, index_dir)
+    max_bid = max(s["batch_id"] for s in segments)
+    name = f"seg_{max_bid:08d}_compacted"
+    write_index(merged, os.path.join(index_dir, name))
+    _commit_manifest(
+        index_dir,
+        [{"name": name, "batch_id": max_bid, "num_docs": merged.num_docs}],
+    )
+    return load_index(spark, os.path.join(index_dir, name))
