@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_csv_scan": R.q_csv_scan,
         "q_index_lookup": R.q_index_lookup,
         "q_dml_roundtrip": R.q_dml_roundtrip,
+        "q_prepared": R.q_prepared,
         # ANALYZE / sketch statistics (§2.9)
         "q_approx_stats": R.q_approx_stats,
         "q_salted_agg": R.q_salted_agg,
@@ -75,7 +76,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_phrase": T.ir_phrase,
         # text analysis
         "text_stats": T.text_stats,
-        "text_langid": T.text_langid,
         "text_fingerprints": T.text_fingerprints,
         # dedup
         "dedup_exact_docs": T.dedup_exact_docs,

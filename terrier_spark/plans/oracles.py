@@ -724,13 +724,15 @@ SELECT doc_id,
        round(punct_raw, 9)::DOUBLE AS punct_ratio,
        round( least(n_tokens / 100.0, 1.0) * 0.4
             + least(stop_raw * 4.0, 1.0) * 0.3
-            + (1.0 - least(punct_raw * 5.0, 1.0)) * 0.3, 9)::DOUBLE AS quality_score
+            + (1.0 - least(punct_raw * 5.0, 1.0)) * 0.3, 9)::DOUBLE AS quality_score,
+       lid.lang_guess
 FROM feat JOIN tok_counts tc USING (doc_id)
+JOIN ({{langid_body}}) lid USING (doc_id)
 ORDER BY doc_id
 """
 
 
-def _langid_sql() -> str:
+def _langid_sql(order: bool = True) -> str:
     langs = sorted(LANG_MARKERS)
     counts = ",\n           ".join(
         f"len(list_filter(toks, x -> x IN ({_sql_list(LANG_MARKERS[lg])}))) AS c_{lg}"
@@ -745,22 +747,26 @@ def _langid_sql() -> str:
         )
     case = "CASE " + " ".join(branches) + " END"
     return f"""
-WITH base AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'),
-                       x -> x <> '') AS toks
-    FROM documents
-), counted AS (
+SELECT doc_id, {case} AS lang_guess
+FROM (
     SELECT doc_id,
            {counts}
-    FROM base
-)
-SELECT doc_id, {case} AS lang_guess
-FROM counted ORDER BY doc_id
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    )
+){" ORDER BY doc_id" if order else ""}
 """
 
 
-ORACLES["text_langid"] = _langid_sql()
+# langid is folded into the merged text_stats entry (50-entry recording
+# window); the standalone SQL stays exposed for tests/debugging.
+ORACLES["text_stats"] = ORACLES["text_stats"].replace(
+    "{langid_body}", _langid_sql(order=False)
+)
+LANGID_SQL = _langid_sql()
 
 # Winnowing k=8/w=16 with the shared Karp-Rabin polynomial gram hash
 # (text_stats.WINNOW_B/WINNOW_M): hash = sum ord(char_j) * B^(7-j) mod M,
@@ -955,4 +961,26 @@ FROM grid g
 JOIN documents d ON g.doc_id = d.doc_id
 LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.feat_idx = c.feat_idx
 ORDER BY g.doc_id, g.feat_idx
+"""
+
+# q_prepared: the two parameter bindings inlined as a params relation —
+# one SQL statement covering both EXECUTEs of the prepared statement.
+ORACLES["q_prepared"] = """
+WITH params AS (
+    SELECT 'y1996' AS binding, TIMESTAMP '1996-01-01' AS lo,
+           TIMESTAMP '1997-01-01' AS hi, 0.05 AS dmin, 0.07 AS dmax
+    UNION ALL
+    SELECT 'y1998_99', TIMESTAMP '1998-01-01',
+           TIMESTAMP '2000-01-01', 0.03, 0.06
+)
+SELECT p.binding,
+       round(sum(l.l_extendedprice * l.l_discount), 6)::DOUBLE AS revenue,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN params p
+  ON l.l_shipdate >= p.lo AND l.l_shipdate < p.hi
+ AND l.l_discount BETWEEN p.dmin AND p.dmax
+ AND l.l_quantity < 24
+GROUP BY p.binding
+ORDER BY p.binding
 """

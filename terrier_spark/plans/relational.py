@@ -977,3 +977,48 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def spark_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
     for t in names:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def q_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prepared / parameterized query surface (§3.2): the reference's
+    PARSE/BIND/EXECUTE extended-protocol loop
+    (src/network/postgres/postgres_network_commands.cpp:221-485) —
+    PARSE one statement with named placeholders, then BIND + EXECUTE it
+    twice with different typed parameter sets and union the tagged
+    results.  Parameters are server-side bindings (spark.sql args=…),
+    never string-spliced, and each execute re-plans through Catalyst so
+    a binding that lands on a pushed filter stays pushed."""
+    import datetime
+
+    from terrier_spark.plans.prepared import prepare_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stmt = prepare_sql(
+        spark,
+        """
+        SELECT :tag AS binding,
+               round(sum(l_extendedprice * l_discount), 6) AS revenue,
+               count(*) AS n_rows
+        FROM {li}
+        WHERE l_shipdate >= :lo AND l_shipdate < :hi
+          AND l_discount BETWEEN :dmin AND :dmax
+          AND l_quantity < :qmax
+        """,
+        tables={"li": li},
+        qmax=24,
+    )
+    a = stmt.execute(
+        tag="y1996",
+        lo=datetime.date(1996, 1, 1),
+        hi=datetime.date(1997, 1, 1),
+        dmin=0.05,
+        dmax=0.07,
+    )
+    b = stmt.execute(
+        tag="y1998_99",
+        lo=datetime.date(1998, 1, 1),
+        hi=datetime.date(2000, 1, 1),
+        dmin=0.03,
+        dmax=0.06,
+    )
+    return a.unionByName(b).orderBy("binding")

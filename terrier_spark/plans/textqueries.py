@@ -197,11 +197,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis, one entry (50-entry recording
     window): token counts (whitespace + code-token regex) joined with
     the quality features (length / punctuation / stopword ratios and
-    the composite quality score) on doc_id — every column of the two
-    original entries is still hash-verified."""
+    the composite quality score) and the n-gram language guess on
+    doc_id — every column of the three original entries is still
+    hash-verified."""
     return (
         text_token_counts(spark, sf_dir)
         .join(text_quality(spark, sf_dir), "doc_id")
+        .join(text_langid(spark, sf_dir), "doc_id")
         .orderBy("doc_id")
     )
 
