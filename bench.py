@@ -63,6 +63,18 @@ def main() -> None:
     warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     warm.groupBy("l_returnflag").agg(_F.count("*")).collect()
 
+    # Pre-fork the Python workers too (numpy/pyarrow import + Arrow IPC
+    # setup, ~0.5s per worker): the first Arrow-kernel query otherwise
+    # absorbs one spawn wave — session cost, not plan cost.  One tiny
+    # batch per core.
+    def _noop(batches):
+        yield from batches
+
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(cores, numPartitions=cores).mapInArrow(
+        _noop, "id long"
+    ).count()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0

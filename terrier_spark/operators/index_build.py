@@ -364,6 +364,28 @@ def blocks_df(
 
 # ------------------------------------------------- partition-aligned build
 
+def _murmur3_int32(v: int, seed: int = 42) -> int:
+    """Spark's ``F.hash`` on an INT column: Murmur3_x86_32 over the
+    4-byte value with seed 42 (sql/catalyst Murmur3HashFunction).
+    Pinned equal to the JVM implementation in tests/test_index_build.py
+    so the driver-side preimage search below can never drift from the
+    shuffle's actual row placement."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (v & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * c2 & 0xFFFFFFFF
+    h = (seed ^ k) & 0xFFFFFFFF
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # total byte length mixed in at finalization
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
 def _exact_partition_salts(spark: SparkSession, parts: int) -> list[int]:
     """salts[p] = an int whose Murmur3 hash lands in shuffle partition p.
 
@@ -373,20 +395,18 @@ def _exact_partition_salts(spark: SparkSession, parts: int) -> list[int]:
     so the aligned build's main stage ran at measured parallelism
     2.85/8 with 2-3x task skew.  Partitioning on salts[pidx] instead
     makes the placement bijective: every task gets exactly one
-    contiguous doc_id bucket.  The preimage search is one tiny Spark
-    job over parts*64 integers using the same hash implementation."""
-    rows = (
-        spark.range(parts * 64)
-        .select(
-            F.col("id").cast("int").alias("v"),
-            F.pmod(F.hash(F.col("id").cast("int")), F.lit(parts)).alias("p"),
-        )
-        .collect()
-    )
+    contiguous doc_id bucket.  The preimage search runs driver-side
+    with the Python Murmur3 twin (_murmur3_int32) — it used to be a
+    Spark job, which charged every build one extra job-scheduling
+    round-trip for 2k hashes of work."""
     first: dict[int, int] = {}
-    for r in rows:
-        if r["p"] not in first:
-            first[r["p"]] = r["v"]
+    v = 0
+    limit = parts * 64
+    while len(first) < parts and v < limit:
+        p = _murmur3_int32(v) % parts
+        if p not in first:
+            first[p] = v
+        v += 1
     missing = [p for p in range(parts) if p not in first]
     if missing:  # astronomically unlikely with 64x oversampling
         raise RuntimeError(f"no Murmur3 preimage found for partitions {missing}")
@@ -650,20 +670,27 @@ def _build_index_aligned(
         .select("doc_id", "content", "pidx")
     )
     blocks = ranged.mapInArrow(_aligned_kernel(offsets, span, stem), BLOCK_SCHEMA)
+    # ONE action both materializes the block cache and computes the
+    # collection statistics from block metadata (Σ sum_tf over blocks =
+    # Σ tf over postings = Σ dl over docs = num_tokens) — the lexicon
+    # groupBy used to be a separate third job chain just to read its
+    # cf sum; it is now built lazily from the cached blocks by the
+    # first query that touches it (a per-query-terms partial agg).
     if cache:
         blocks = blocks.persist()
-        blocks.count()
+    stats_row = blocks.agg(F.count("*"), F.sum("sum_tf")).collect()[0]
+    num_tokens = int(stats_row[1] or 0)
+    avgdl = num_tokens / num_docs if num_docs else 0.0
     if _prof:
-        print(f"[build] kernel->blocks: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
+        print(
+            f"[build] kernel->blocks+stats: {_time.monotonic()-_t0:.2f}s",
+            file=_sys.stderr,
+        )
         _t0 = _time.monotonic()
 
     lex = lexicon_from_blocks(blocks)
     if cache:
         lex = lex.persist()
-    num_tokens = int(lex.agg(F.sum("cf")).collect()[0][0] or 0)
-    avgdl = num_tokens / num_docs if num_docs else 0.0
-    if _prof:
-        print(f"[build] lexicon+stats: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
 
     id_type = dtype
     docmap = ranged.select("doc_id", "pidx").mapInArrow(
@@ -759,16 +786,22 @@ def build_index(
         kernel_out = tokenize_postings(docs, id_col, text_col, stem=stem)
         post = postings_df(kernel_out, docmap, num_docs)
     blocks, span = blocks_df(post, num_docs, target_buckets, bucket_span)
+    # Same fusion as the aligned path: one action materializes the
+    # cache AND reads the collection stats off block metadata; the
+    # lexicon stays lazy until a query touches it.
     if cache:
         blocks = blocks.persist()
-        blocks.count()
+    stats_row = blocks.agg(F.count("*"), F.sum("sum_tf")).collect()[0]
+    num_tokens = int(stats_row[1] or 0)
     if _prof:
-        print(f"[build] kernel->blocks: {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
+        print(
+            f"[build] kernel->blocks+stats: {_time.monotonic()-_t0:.2f}s",
+            file=_sys.stderr,
+        )
         _t0 = _time.monotonic()
     lex = lexicon_from_blocks(blocks)
     if cache:
         lex = lex.persist()
-    num_tokens = int(lex.agg(F.sum("cf")).collect()[0][0] or 0)
     if cache:
         # docmap is materialized (persisted + consumed by the blocks
         # build); the intermediate ranged-id cache can go.

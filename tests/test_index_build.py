@@ -106,3 +106,29 @@ def test_hot_term_blocks_bounded(spark_index):
     hot = spark_index.blocks.filter(F.col("term") == "int")
     mx = hot.agg(F.max("n_docs")).collect()[0][0]
     assert mx is not None and mx <= BLOCK_DOCS
+
+
+def test_python_murmur3_matches_jvm_hash(spark):
+    """The driver-side preimage search places rows with _murmur3_int32;
+    if it ever drifts from Spark's Murmur3HashFunction the aligned
+    build's bijective partition placement silently degrades to skewed
+    placement — pin exact equality over a value sweep."""
+    from pyspark.sql import functions as F
+
+    from terrier_spark.operators.index_build import (
+        _exact_partition_salts, _murmur3_int32,
+    )
+
+    rows = (
+        spark.range(4096)
+        .select(
+            F.col("id").cast("int").alias("v"),
+            F.hash(F.col("id").cast("int")).alias("h"),
+        )
+        .collect()
+    )
+    assert all(_murmur3_int32(r["v"]) == r["h"] for r in rows)
+    # and the salts really are a bijection onto 0..parts-1
+    for parts in (3, 8, 32, 100):
+        salts = _exact_partition_salts(spark, parts)
+        assert sorted(_murmur3_int32(s) % parts for s in salts) == list(range(parts))
