@@ -110,6 +110,11 @@ def parse_log(elog_dir: str) -> dict:
     }
 
 
+def _cpu_snap() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
 def main() -> None:
     corpus = sys.argv[1]
     levels = [int(c) for c in (sys.argv[2:] or ["8", "32"])]
@@ -120,14 +125,25 @@ def main() -> None:
         env = dict(os.environ)
         env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-tmp")
         pin = [shutil.which("taskset"), "-c", f"0-{c-1}"] if shutil.which("taskset") else []
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        s0 = _cpu_snap()
         p = subprocess.run(
             pin + [sys.executable, "-c", CHILD, str(c), corpus, elog],
             capture_output=True, text=True, env=env, cwd=repo_root,
         )
+        s1 = _cpu_snap()
         if p.returncode != 0:
             raise RuntimeError(f"child cores={c} failed:\n{p.stderr[-3000:]}")
         wall = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])["wall"]
         stats = parse_log(elog)
+        # noise annotations: whole-host steal% and foreign-busy% (user+
+        # system beyond what our pinned child could account for) let a
+        # replicate harvester keep only quiet-window runs
+        d = [b - a for a, b in zip(s0, s1)]
+        tot = max(sum(d), 1)
+        stats["host_steal_pct"] = round(100 * d[7] / tot, 2)
+        stats["host_busy_pct"] = round(100 * (d[0] + d[2]) / tot, 2)
+        stats["load1_start"] = load1
         results.append({"cores": c, "warm_build_wall_s": round(wall, 3), **stats})
         print(f"# cores={c}: warm wall {wall:.2f}s, "
               f"measured stages {stats['measured_stage_wall_s']}s", file=sys.stderr)

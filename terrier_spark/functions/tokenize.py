@@ -134,6 +134,64 @@ def tokenize_count_slice(content, stem: bool = False):
     return u_doc, u_code, tf, dl, vocab
 
 
+def tokenize_count_slice_pos(content, stem: bool = False):
+    """Positional variant of :func:`tokenize_count_slice` for ONE
+    content array slice.
+
+    Returns (u_doc, u_code, tf, dl, vocab, pos_flat): identical
+    contract plus ``pos_flat`` — the concatenated, per-posting ascending
+    0-based KEPT-token positions, in the same row order as
+    (u_doc, u_code); posting j's positions are
+    ``pos_flat[cum_tf[j-1]:cum_tf[j]]`` (cum_tf = np.cumsum(tf)).
+
+    The per-(doc, term) aggregation here is a lexsort over
+    (doc, code, pos) + run-length grouping rather than the hash
+    aggregation of the non-positional path — positions force a total
+    order anyway, so the sort does both jobs in one pass.  With
+    ``stem=True`` codes are remapped to stemmed vocab BEFORE the sort,
+    which merge-sorts the position runs of terms the stemmer conflates
+    (positions always index RAW kept tokens).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(content)
+    content = pc.coalesce(content, pa.scalar("", pa.string()))
+    toks = pc.split_pattern_regex(pc.utf8_lower(content), TOKEN_PATTERN)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    doc_idx = doc_idx[keep]
+    codes = codes[keep]
+    dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    if stem and len(vocab):
+        from terrier_spark.functions.stem import stem_vocab_codes
+
+        vocab, code_map = stem_vocab_codes(vocab)
+        codes = code_map[codes]
+    if len(doc_idx) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, dl, vocab, z
+    # kept-token position within each doc (doc_idx ascending by
+    # construction: docs are contiguous in the flattened token stream)
+    doc_offs = np.concatenate(([0], np.cumsum(dl)[:-1]))
+    pos = np.arange(len(doc_idx), dtype=np.int64) - doc_offs[doc_idx]
+    order = np.lexsort((pos, codes, doc_idx))
+    d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
+    grp = np.empty(len(d_s), dtype=bool)
+    grp[0] = True
+    np.logical_or(d_s[1:] != d_s[:-1], c_s[1:] != c_s[:-1], out=grp[1:])
+    starts = np.flatnonzero(grp)
+    tf = np.diff(np.concatenate((starts, [len(d_s)]))).astype(np.int64)
+    return d_s[starts], c_s[starts], tf, dl, vocab, p_s
+
+
 def tokenize_postings(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -101,3 +101,20 @@ def decode_posting_list(docno_blob: bytes, tf_blob: bytes) -> tuple[np.ndarray, 
     docnos = delta_decode(vbyte_decode(docno_blob))
     tfs = vbyte_decode(tf_blob)
     return docnos, tfs
+
+
+def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Decode a per-block positional stream back to absolute positions.
+
+    ``pos_blob`` holds VByte position-GAPS; runs are delimited by ``tfs``
+    (posting i owns the next tfs[i] values, its first value absolute).
+    Vectorized segmented prefix-sum: one cumsum over the whole stream,
+    then subtract each run's preceding total."""
+    gaps = vbyte_decode(pos_blob).astype(np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if len(gaps) == 0:
+        return gaps
+    run_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    cum = np.cumsum(gaps)
+    base = cum[run_starts] - gaps[run_starts]
+    return cum - np.repeat(base, tfs)

@@ -61,6 +61,20 @@ BLOCK_SCHEMA = StructType(
     ]
 )
 
+# Positional index (build_index(positions=True)): one extra stream per
+# block — VByte position-GAPS of every occurrence, runs delimited by the
+# decoded tf stream (tf[i] == #positions of posting i), positions being
+# 0-based kept-token indexes (the same convention as operators/phrase.py
+# and Terrier's positional posting lists).  No per-run length prefix is
+# stored: tf already is it.
+BLOCK_SCHEMA_POS = StructType(
+    BLOCK_SCHEMA.fields + [StructField("pos_blob", BinaryType(), False)]
+)
+
+
+def block_schema(positions: bool) -> StructType:
+    return BLOCK_SCHEMA_POS if positions else BLOCK_SCHEMA
+
 
 @dataclass
 class InvertedIndex:
@@ -76,6 +90,7 @@ class InvertedIndex:
     avgdl: float
     bucket_span: int
     stem: bool = False        # Porter-lite vocab stemming was applied
+    positions: bool = False   # blocks carry the pos_blob stream
 
 
 def assign_docnos(ids: DataFrame) -> tuple[DataFrame, int]:
@@ -200,7 +215,9 @@ def _data_parts(df: DataFrame) -> int:
     return max(floor_parts, -(-est // TARGET_TASK_BYTES))
 
 
-def _encode_sorted(term_dict, term_codes, bucket, docno, tf, dl, grp_change) -> "pa.RecordBatch":
+def _encode_sorted(
+    term_dict, term_codes, bucket, docno, tf, dl, grp_change, pos=None
+) -> "pa.RecordBatch":
     """Vectorized block encoder over arrays already sorted by
     (group, docno), with per-row group-start flags.
 
@@ -209,6 +226,11 @@ def _encode_sorted(term_dict, term_codes, bucket, docno, tf, dl, grp_change) -> 
     per-block terms come from an Arrow take() at block starts — the
     10M+ term strings of a chunk are never materialized as Python
     objects.
+
+    ``pos`` (optional): flat per-posting position runs in posting-row
+    order (run j = pos[cum_tf[j-1]:cum_tf[j]], ascending).  When given,
+    the positional stream is gap+VByte encoded in the same single pass
+    and sliced per block into ``pos_blob``.
     """
     import pyarrow as pa
 
@@ -253,27 +275,48 @@ def _encode_sorted(term_dict, term_codes, bucket, docno, tf, dl, grp_change) -> 
     tf_blob = [tb[ts[j]:te[j]] for j in range(nb)]
     dl_blob = [lb[ls[j]:le[j]] for j in range(nb)]
 
+    pos_blob = None
+    if pos is not None:
+        # per-posting run starts into the flat position stream
+        pstart = np.concatenate(([0], np.cumsum(tf)[:-1])).astype(np.int64)
+        pos_gaps = pos.astype(np.int64, copy=True)
+        pos_gaps[1:] -= pos[:-1]
+        pos_gaps[pstart] = pos[pstart]  # absolute head per posting run
+        p_stream, p_len = vbyte_encode_raw(pos_gaps.astype(np.uint64))
+        p_ends = np.cumsum(p_len)
+        pb = p_stream.tobytes()
+        # block j spans posting rows [blk_start_idx[j], blk_end_idx[j]];
+        # its position VALUES span [pstart[bs], pstart[be] + tf[be])
+        v_lo = pstart[blk_start_idx]
+        v_hi = pstart[blk_end_idx] + tf[blk_end_idx] - 1  # inclusive
+        ps = p_ends[v_lo] - p_len[v_lo]
+        pe = p_ends[v_hi]
+        pos_blob = [pb[ps[j]:pe[j]] for j in range(nb)]
+
     # Only the block-start terms are ever materialized (one string per
     # block, not one per posting row).
     term_b = term_dict.take(pa.array(term_codes[blk_start_idx])).cast(pa.string())
     if isinstance(term_b, pa.ChunkedArray):
         term_b = term_b.combine_chunks()
+    arrays = [
+        term_b,
+        pa.array(bkt_b.astype(np.int64)),
+        pa.array(block_id.astype(np.int64)),
+        pa.array(first.astype(np.int64)),
+        pa.array(last.astype(np.int64)),
+        pa.array(n_docs_b.astype(np.int64)),
+        pa.array(sum_tf.astype(np.int64)),
+        pa.array(max_tf.astype(np.int64)),
+        pa.array(min_dl.astype(np.int64)),
+        pa.array(docno_blob, type=pa.binary()),
+        pa.array(tf_blob, type=pa.binary()),
+        pa.array(dl_blob, type=pa.binary()),
+    ]
+    if pos_blob is not None:
+        arrays.append(pa.array(pos_blob, type=pa.binary()))
     return pa.RecordBatch.from_arrays(
-        [
-            term_b,
-            pa.array(bkt_b.astype(np.int64)),
-            pa.array(block_id.astype(np.int64)),
-            pa.array(first.astype(np.int64)),
-            pa.array(last.astype(np.int64)),
-            pa.array(n_docs_b.astype(np.int64)),
-            pa.array(sum_tf.astype(np.int64)),
-            pa.array(max_tf.astype(np.int64)),
-            pa.array(min_dl.astype(np.int64)),
-            pa.array(docno_blob, type=pa.binary()),
-            pa.array(tf_blob, type=pa.binary()),
-            pa.array(dl_blob, type=pa.binary()),
-        ],
-        names=[f.name for f in BLOCK_SCHEMA.fields],
+        arrays,
+        names=[f.name for f in block_schema(pos_blob is not None).fields],
     )
 
 
@@ -444,7 +487,9 @@ def _pidx_expr(dtype: str, parts: int, lo: int | None = None, hi: int | None = N
     )
 
 
-def _aligned_kernel(offsets: dict[int, int], span: int, stem: bool = False):
+def _aligned_kernel(
+    offsets: dict[int, int], span: int, stem: bool = False, positions: bool = False
+):
     """mapInArrow kernel over ONE hash partition of (doc_id, content,
     pidx) rows: buffer the partition's rows grouped by pidx (Arrow
     columnar — compact, no JVM row materialization), C++-sort each pidx
@@ -483,7 +528,10 @@ def _aligned_kernel(offsets: dict[int, int], span: int, stem: bool = False):
             while done < n:
                 to_boundary = span - (next_docno % span)
                 take = min(to_boundary, ARROW_SLICE_DOCS, n - done)
-                rb_out = _encode_bucket_chunk(tbl.slice(done, take), next_docno, span, stem=stem)
+                rb_out = _encode_bucket_chunk(
+                    tbl.slice(done, take), next_docno, span,
+                    stem=stem, positions=positions,
+                )
                 next_docno += take
                 done += take
                 if rb_out is not None:
@@ -492,19 +540,29 @@ def _aligned_kernel(offsets: dict[int, int], span: int, stem: bool = False):
     return kernel
 
 
-def _encode_bucket_chunk(tbl, start_docno: int, span: int, stem: bool = False):
+def _encode_bucket_chunk(
+    tbl, start_docno: int, span: int, stem: bool = False, positions: bool = False
+):
     """Tokenize + aggregate + block-encode one single-bucket doc chunk.
     docno of row i = start_docno + i (rows are doc_id-sorted within the
     pidx run, so this IS the global rank).  Returns None if the chunk
     produced no postings (all-empty docs)."""
     import pyarrow as pa
 
-    from terrier_spark.functions.tokenize import tokenize_count_slice
+    from terrier_spark.functions.tokenize import (
+        tokenize_count_slice, tokenize_count_slice_pos,
+    )
 
     content = tbl.column(1)
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
-    u_doc, u_code, tf, dl, vocab = tokenize_count_slice(content, stem=stem)
+    pos_flat = None
+    if positions:
+        u_doc, u_code, tf, dl, vocab, pos_flat = tokenize_count_slice_pos(
+            content, stem=stem
+        )
+    else:
+        u_doc, u_code, tf, dl, vocab = tokenize_count_slice(content, stem=stem)
     if len(u_doc) == 0:
         return None
     docno = start_docno + u_doc.astype(np.int64)
@@ -513,12 +571,22 @@ def _encode_bucket_chunk(tbl, start_docno: int, span: int, stem: bool = False):
     docno = docno[order]
     tf_s = tf[order].astype(np.int64)
     dl_s = dl[u_doc][order].astype(np.int64)
+    pos_s = None
+    if pos_flat is not None:
+        # gather the variable-length position runs into the new posting
+        # order: out index k of run j reads pos_flat[src_start[j] + k]
+        src_start = np.concatenate(([0], np.cumsum(tf)[:-1])).astype(np.int64)
+        out_start = np.concatenate(([0], np.cumsum(tf_s)[:-1])).astype(np.int64)
+        delta = np.repeat(src_start[order] - out_start, tf_s)
+        pos_s = pos_flat[np.arange(len(pos_flat), dtype=np.int64) + delta]
     m = len(codes)
     grp_change = np.empty(m, dtype=bool)
     grp_change[0] = True
     grp_change[1:] = codes[1:] != codes[:-1]
     bucket_arr = np.full(m, start_docno // span, dtype=np.int64)
-    return _encode_sorted(vocab, codes, bucket_arr, docno, tf_s, dl_s, grp_change)
+    return _encode_sorted(
+        vocab, codes, bucket_arr, docno, tf_s, dl_s, grp_change, pos=pos_s
+    )
 
 
 def _docmap_kernel(offsets: dict[int, int], id_field: str):
@@ -602,6 +670,7 @@ def _build_index_aligned(
     cache: bool,
     stem: bool = False,
     bucket_span: int | None = None,
+    positions: bool = False,
 ) -> InvertedIndex | None:
     """Partition-aligned build: ONE shuffle of the corpus content, then
     everything — docno assignment, tokenization, per-doc tf aggregation,
@@ -669,7 +738,9 @@ def _build_index_aligned(
         .repartition(parts, "psalt")
         .select("doc_id", "content", "pidx")
     )
-    blocks = ranged.mapInArrow(_aligned_kernel(offsets, span, stem), BLOCK_SCHEMA)
+    blocks = ranged.mapInArrow(
+        _aligned_kernel(offsets, span, stem, positions), block_schema(positions)
+    )
     # ONE action both materializes the block cache and computes the
     # collection statistics from block metadata (Σ sum_tf over blocks =
     # Σ tf over postings = Σ dl over docs = num_tokens) — the lexicon
@@ -711,6 +782,7 @@ def _build_index_aligned(
         avgdl=avgdl,
         bucket_span=span,
         stem=stem,
+        positions=positions,
     )
 
 
@@ -723,6 +795,7 @@ def build_index(
     strategy: str = "aligned",
     stem: bool = False,
     bucket_span: int | None = None,
+    positions: bool = False,
 ) -> InvertedIndex:
     """End-to-end build. Input: any (id, text) DataFrame.
 
@@ -751,11 +824,21 @@ def build_index(
     pass, num_tokens = Σ cf over the (compact) lexicon."""
     if strategy == "aligned":
         idx = _build_index_aligned(
-            docs, id_col, text_col, target_buckets, cache, stem, bucket_span
+            docs, id_col, text_col, target_buckets, cache, stem, bucket_span,
+            positions=positions,
         )
         if idx is not None:
             return idx
         # ids not alignable — fall through to the shuffle strategy
+    if positions:
+        # The positional stream is produced inside the aligned kernel
+        # (positions never exist as rows); the shuffle fallback moves
+        # pre-aggregated (term, docno, tf) rows, where per-occurrence
+        # positions have already been collapsed.
+        raise ValueError(
+            "positions=True requires the aligned build (alignable doc ids: "
+            "numeric, or hex-prefixed strings) and strategy='aligned'"
+        )
 
     import os as _os
     import sys as _sys
@@ -901,7 +984,10 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         )
     if a.stem != b.stem:
         raise ValueError("cannot merge stemmed and unstemmed indexes")
+    if a.positions != b.positions:
+        raise ValueError("cannot merge positional and non-positional indexes")
     span = a.bucket_span
+    merged_schema = block_schema(a.positions)
     offset = -(-a.num_docs // span) * span  # pad to a bucket boundary
     bucket_off = offset // span
 
@@ -921,7 +1007,7 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
                 gaps[0] += np.uint64(offset)  # only the absolute head moves
                 out_blobs.append(vbyte_encode(gaps))
             arrays = []
-            for name in BLOCK_SCHEMA.fieldNames():
+            for name in merged_schema.fieldNames():
                 if name == "docno_blob":
                     arrays.append(pa.array(out_blobs, type=pa.binary()))
                 elif name == "bucket":
@@ -937,10 +1023,10 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
                     )
             yield pa.RecordBatch.from_arrays(
                 [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in arrays],
-                names=BLOCK_SCHEMA.fieldNames(),
+                names=merged_schema.fieldNames(),
             )
 
-    rebased = b.blocks.mapInArrow(rebase, BLOCK_SCHEMA)
+    rebased = b.blocks.mapInArrow(rebase, merged_schema)
     blocks = a.blocks.unionByName(rebased)
     lexicon = (
         a.lexicon.unionByName(b.lexicon)
@@ -966,6 +1052,7 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         avgdl=num_tokens / num_docs if num_docs else 0.0,
         bucket_span=span,
         stem=a.stem,
+        positions=a.positions,
     )
 
 
@@ -991,6 +1078,7 @@ def write_index(index: InvertedIndex, out_dir: str) -> None:
                 "avgdl": index.avgdl,
                 "bucket_span": index.bucket_span,
                 "stem": index.stem,
+                "positions": index.positions,
             },
             f,
         )
@@ -1013,4 +1101,5 @@ def load_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
         avgdl=meta["avgdl"],
         bucket_span=meta["bucket_span"],
         stem=bool(meta.get("stem", False)),
+        positions=bool(meta.get("positions", False)),
     )

@@ -36,6 +36,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import pandas as pd
+
 from terrier_spark.functions.tokenize import TOKEN_PATTERN, py_tokenize_iter
 
 
@@ -155,4 +157,116 @@ def phrase_match(
     return (
         joined.select("doc_id", n_occ.alias("n_occ"))
         .filter(F.col("n_occ") > 0)
+    )
+
+
+def phrase_match_indexed(idx, phrase: str) -> DataFrame:
+    """(doc_id, n_occ) for ``phrase`` evaluated AGAINST THE COMPRESSED
+    POSITIONAL INDEX (build_index(positions=True)) — no re-tokenization
+    of any document; only the phrase terms' blocks are decoded.
+
+    Plan shape (the same bucket-parallel shape as the BM25 block
+    scorer): filter blocks to the phrase terms → drop buckets missing
+    any required term (a groupBy(bucket) distinct-count semi-join — at
+    10^12 docs this prunes the hot term's millions of blocks down to
+    the rare term's buckets) → groupBy(bucket).applyInPandas kernel
+    that decodes docno/tf/pos streams and counts adjacency runs fully
+    vectorized (searchsorted over sorted (local-docno, position) keys;
+    no per-occurrence Python) → docmap join for doc ids.
+
+    Occurrence semantics are identical to :func:`phrase_match`
+    (overlapping occurrences counted; positions = kept-token indexes).
+    With a stemmed index the phrase terms are stemmed the same way, and
+    adjacency still applies to raw token positions (Terrier's behavior
+    for stemmed phrase search).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from terrier_spark.oracle import tokenize as py_tokenize
+    from terrier_spark.operators.compress import (
+        decode_positions, decode_posting_list,
+    )
+
+    if not idx.positions:
+        raise ValueError(
+            "index was built without positions; rebuild with "
+            "build_index(..., positions=True)"
+        )
+    terms = py_tokenize(phrase, stem=idx.stem)
+    if not terms:
+        raise ValueError("phrase has no tokens under the pinned tokenizer")
+    need = sorted(set(terms))
+    span = idx.bucket_span
+
+    cand = idx.blocks.filter(F.col("term").isin(need))
+    if len(need) > 1:
+        # conjunctive bucket prune: a bucket lacking any phrase term
+        # cannot match; keeps the kernel's input bounded by the rarest
+        # term's bucket set (one row per bucket — never broadcast-sized
+        # assumptions, the join shuffles on the same key the kernel
+        # groups by)
+        ok = (
+            cand.groupBy("bucket")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(need))
+            .select("bucket")
+        )
+        cand = cand.join(ok, "bucket")
+
+    out_schema = StructType(
+        [
+            StructField("docno", LongType(), False),
+            StructField("n_occ", LongType(), False),
+        ]
+    )
+
+    def match_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"docno": pd.Series(dtype=np.int64), "n_occ": pd.Series(dtype=np.int64)}
+        )
+        if not len(pdf):
+            return empty
+        base = int(pdf["bucket"].iloc[0]) * span
+        # per term: concatenated (local docno, tf, positions) streams in
+        # block order (first_docno ascending -> keys ascending)
+        streams: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t, grp in pdf.sort_values("first_docno").groupby("term", sort=False):
+            dn_l, tf_l, po_l = [], [], []
+            for row in grp.itertuples(index=False):
+                dn, tf = decode_posting_list(bytes(row.docno_blob), bytes(row.tf_blob))
+                po = decode_positions(bytes(row.pos_blob), tf)
+                dn_l.append(dn.astype(np.int64) - base)
+                tf_l.append(tf.astype(np.int64))
+                po_l.append(po)
+            streams[t] = (
+                np.concatenate(dn_l), np.concatenate(tf_l), np.concatenate(po_l)
+            )
+        if any(t not in streams for t in need):
+            return empty
+        # (local docno, position) packed keys; positions < 2^32 and local
+        # docnos < span <= 2^18, so the key fits int64 with room
+        keys: dict[str, np.ndarray] = {}
+        for t, (dn, tf, po) in streams.items():
+            keys[t] = (np.repeat(dn, tf) << np.int64(32)) | po
+        a_dn, a_tf, a_po = streams[terms[0]]
+        anchor_dn = np.repeat(a_dn, a_tf)
+        ok = np.ones(len(a_po), dtype=bool)
+        for i, t in enumerate(terms[1:], start=1):
+            want = (anchor_dn << np.int64(32)) | (a_po + i)
+            ks = keys[t]
+            j = np.searchsorted(ks, want)
+            ok &= (j < len(ks)) & (ks[np.minimum(j, len(ks) - 1)] == want)
+        if not ok.any():
+            return empty
+        hit_dn = anchor_dn[ok]
+        uniq, counts = np.unique(hit_dn, return_counts=True)
+        return pd.DataFrame(
+            {"docno": uniq + base, "n_occ": counts.astype(np.int64)}
+        )
+
+    matched = cand.groupBy("bucket").applyInPandas(
+        lambda pdf: match_bucket(pdf), schema=out_schema
+    )
+    return matched.join(idx.docmap.select("doc_id", "docno"), "docno").select(
+        "doc_id", "n_occ"
     )

@@ -62,7 +62,12 @@ def _built_index(spark: SparkSession, sf_dir: str):
                 if h is not None:
                     h.unpersist()
         d = _docs(spark, sf_dir)
-        _INDEX_CACHE[key] = build_index(d, id_col="doc_id", text_col="text")
+        # positions=True: the shared index serves BOTH the BM25 entries
+        # (pos_blob is additive — tf/dl streams and ranks are unchanged,
+        # pinned in tests/test_phrase.py) and the indexed phrase entry.
+        _INDEX_CACHE[key] = build_index(
+            d, id_col="doc_id", text_col="text", positions=True
+        )
     return _INDEX_CACHE[key]
 
 
@@ -135,19 +140,21 @@ def ir_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ir_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase query over positional postings (SURVEY.md §7.8, the
-    round-2 deferral): docs containing PHRASE_QUERY as consecutive
-    tokens, with the exact (overlapping) occurrence count.  One Arrow
-    tokenize pass emits per-(doc, term) position lists; the adjacency
-    check is a JVM higher-order filter over the joined position arrays
-    (operators/phrase.py).  Reference analog: Terrier's positional
-    index / the multi-predicate index scan
+    """Phrase query over the COMPRESSED POSITIONAL INDEX (SURVEY.md
+    §7.8, the round-2 deferral): docs containing PHRASE_QUERY as
+    consecutive tokens, with the exact (overlapping) occurrence count.
+    The shared index is built with positions=True (VByte position-gap
+    stream per block); only the phrase terms' blocks are decoded, in
+    the same bucket-parallel kernel shape as the BM25 scorer
+    (operators/phrase.py phrase_match_indexed; the tokenize-time
+    phrase_match path is the cross-check twin in tests).  Reference
+    analog: Terrier's positional index / the multi-predicate index scan
     (src/execution/compiler/operator/index_scan_translator.cpp)."""
-    from terrier_spark.operators.phrase import phrase_match
+    from terrier_spark.operators.phrase import phrase_match_indexed
 
-    d = _docs(spark, sf_dir)
+    idx = _built_index(spark, sf_dir)
     return (
-        phrase_match(d, PHRASE_QUERY, id_col="doc_id", text_col="text")
+        phrase_match_indexed(idx, PHRASE_QUERY)
         .select(F.col("doc_id").cast("long").alias("doc_id"),
                 F.col("n_occ").cast("long").alias("n_occ"))
         .orderBy("doc_id")

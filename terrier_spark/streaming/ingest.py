@@ -84,6 +84,7 @@ def ingest_batch(
     text_col: str = "content",
     bucket_span: int = MAX_BUCKET_SPAN,
     stem: bool = False,
+    positions: bool = False,
 ) -> int:
     """Build + commit ONE segment from a micro-batch; returns docs
     ingested.  Idempotent per batch_id (crash-replay safe): the segment
@@ -95,7 +96,7 @@ def ingest_batch(
     seg_dir = os.path.join(index_dir, seg_name)
     idx = build_index(
         batch, id_col=id_col, text_col=text_col,
-        bucket_span=bucket_span, stem=stem,
+        bucket_span=bucket_span, stem=stem, positions=positions,
     )
     try:
         write_index(idx, seg_dir)
@@ -121,6 +122,7 @@ def ingest_stream(
     text_col: str = "content",
     bucket_span: int = MAX_BUCKET_SPAN,
     stem: bool = False,
+    positions: bool = False,
     available_now: bool = True,
 ):
     """Attach the segment builder to a streaming DataFrame.  With
@@ -133,7 +135,7 @@ def ingest_stream(
         ingest_batch(
             batch, batch_id, index_dir,
             id_col=id_col, text_col=text_col,
-            bucket_span=bucket_span, stem=stem,
+            bucket_span=bucket_span, stem=stem, positions=positions,
         )
 
     writer = (

@@ -101,3 +101,89 @@ def test_postings_reuse(docs):
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     finally:
         pp.unpersist()
+
+
+# ------------------------------------------------- positional block index
+
+@pytest.fixture(scope="module")
+def pos_index(spark, docs):
+    from terrier_spark.operators.index_build import build_index
+
+    idx = build_index(docs, id_col="doc_id", text_col="text", positions=True)
+    yield idx
+    for h in (idx.blocks, idx.lexicon):
+        try:
+            h.unpersist()
+        except Exception:
+            pass
+
+
+def _match_dict(df):
+    return {r["doc_id"]: r["n_occ"] for r in df.collect()}
+
+
+def test_indexed_phrase_equals_postings_path(docs, pos_index):
+    from terrier_spark.operators.phrase import phrase_match_indexed
+
+    for q in ["quick brown", "foo bar foo", "batch batch", "the lazy dog",
+              "brown quick", "quick", "nosuchterm quick"]:
+        exp = _match_dict(phrase_match(docs, q, text_col="text"))
+        got = _match_dict(phrase_match_indexed(pos_index, q))
+        assert got == exp, q
+
+
+def test_positional_index_rank_identical_bm25(spark, docs, pos_index):
+    """pos_blob is additive: tf/dl streams and BM25 ranks are unchanged
+    vs a positions=False build of the same docs."""
+    from terrier_spark.operators.index_build import build_index
+    from terrier_spark.operators.score import bm25_topk_blocks
+
+    base = build_index(docs, id_col="doc_id", text_col="text")
+    q = "quick brown fox"
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk_blocks(pos_index, q, 5).collect()]
+    exp = [(r["doc_id"], r["score"]) for r in bm25_topk_blocks(base, q, 5).collect()]
+    assert got == exp and len(got) > 0
+    for h in (base.blocks, base.lexicon):
+        h.unpersist()
+
+
+def test_positional_write_load_merge_roundtrip(spark, tmp_path_factory):
+    """Segmented positional indexes: write/load keeps pos_blob + the
+    positions flag; a merged pair answers phrases identically to a
+    single build over the union."""
+    from terrier_spark.operators.index_build import (
+        build_index, load_index, merge_indexes, write_index,
+    )
+    from terrier_spark.operators.phrase import phrase_match_indexed
+
+    rows_a = [(i, f"alpha beta gamma doc{i} alpha beta") for i in range(1, 9)]
+    rows_b = [(i, f"beta alpha beta gamma{i}") for i in range(9, 17)]
+    a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    span = 1 << 18
+    d = tmp_path_factory.mktemp("posidx")
+    ia = build_index(a, id_col="doc_id", text_col="text",
+                     positions=True, bucket_span=span)
+    write_index(ia, str(d / "a"))
+    la = load_index(spark, str(d / "a"))
+    assert la.positions and "pos_blob" in la.blocks.columns
+    ib = build_index(b, id_col="doc_id", text_col="text",
+                     positions=True, bucket_span=span)
+    merged = merge_indexes(la, ib)
+    assert merged.positions
+    full = build_index(a.unionByName(b), id_col="doc_id", text_col="text",
+                       positions=True, bucket_span=span)
+    for q in ["alpha beta", "beta gamma", "alpha beta gamma"]:
+        got = _match_dict(phrase_match_indexed(merged, q))
+        exp = _match_dict(phrase_match_indexed(full, q))
+        assert got == exp, q
+
+
+def test_positions_require_aligned_build(spark):
+    from terrier_spark.operators.index_build import build_index
+
+    bad = spark.createDataFrame(
+        [("zz-not-hex", "alpha beta")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="positions=True requires"):
+        build_index(bad, id_col="doc_id", text_col="text", positions=True)
