@@ -124,7 +124,15 @@ def main() -> None:
         elog = tempfile.mkdtemp(prefix=f"ts_elog_{c}_")
         env = dict(os.environ)
         env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-tmp")
-        pin = [shutil.which("taskset"), "-c", f"0-{c-1}"] if shutil.which("taskset") else []
+        # Pin to the TOP of the cpu range: measured on this host, low
+        # vcpus carry ~6x the hypervisor steal of high ones (neighbor
+        # VMs are packed low) — 8.4% vs 1.5% during identical runs.
+        ncpu = os.cpu_count() or c
+        pin = (
+            [shutil.which("taskset"), "-c", f"{max(ncpu - c, 0)}-{ncpu - 1}"]
+            if shutil.which("taskset")
+            else []
+        )
         load1 = float(open("/proc/loadavg").read().split()[0])
         s0 = _cpu_snap()
         p = subprocess.run(

@@ -196,7 +196,12 @@ def winnowing_fingerprints(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from numpy.lib.stride_tricks import sliding_window_view
 
-        ws_re = __import__("re").compile(r"\s+")
+        # ASCII \s only: the SQL-shape twin normalizes with the JVM's
+        # regexp_replace('\\s+') and the DuckDB oracle with its ASCII
+        # \s — Python's default Unicode \s would additionally collapse
+        # U+00A0 (NBSP) and break the documented row identity.
+        _re = __import__("re")
+        ws_re = _re.compile(r"\s+", flags=_re.ASCII)
         for pdf in batches:
             ids: list = []
             fps: list[np.ndarray] = []

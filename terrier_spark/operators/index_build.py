@@ -91,6 +91,16 @@ class InvertedIndex:
     bucket_span: int
     stem: bool = False        # Porter-lite vocab stemming was applied
     positions: bool = False   # blocks carry the pos_blob stream
+    # Exclusive upper bound of the OCCUPIED docno space.  == num_docs for
+    # a fresh build, but STRICTLY LARGER after merges: every rebase pads
+    # the offset up to a bucket boundary, so a merged index has docno
+    # holes and its extent outruns its doc count.  Successive merges MUST
+    # rebase from this (not num_docs) or segment docno ranges collide.
+    docno_limit: int | None = None
+
+    def __post_init__(self):
+        if self.docno_limit is None:
+            self.docno_limit = self.num_docs
 
 
 def assign_docnos(ids: DataFrame) -> tuple[DataFrame, int]:
@@ -988,7 +998,11 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         raise ValueError("cannot merge positional and non-positional indexes")
     span = a.bucket_span
     merged_schema = block_schema(a.positions)
-    offset = -(-a.num_docs // span) * span  # pad to a bucket boundary
+    # Rebase from a's docno-space EXTENT, not its doc count: after a
+    # previous merge a has padding holes, and an offset computed from
+    # num_docs would hand b a docno range the earlier segment already
+    # occupies (silently summing two docs' scores into one docno).
+    offset = -(-a.docno_limit // span) * span  # pad to a bucket boundary
     bucket_off = offset // span
 
     import pyarrow as pa
@@ -1053,6 +1067,7 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         bucket_span=span,
         stem=a.stem,
         positions=a.positions,
+        docno_limit=offset + b.docno_limit,
     )
 
 
@@ -1079,6 +1094,7 @@ def write_index(index: InvertedIndex, out_dir: str) -> None:
                 "bucket_span": index.bucket_span,
                 "stem": index.stem,
                 "positions": index.positions,
+                "docno_limit": index.docno_limit,
             },
             f,
         )
@@ -1102,4 +1118,5 @@ def load_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
         bucket_span=meta["bucket_span"],
         stem=bool(meta.get("stem", False)),
         positions=bool(meta.get("positions", False)),
+        docno_limit=meta.get("docno_limit"),  # None (pre-field index) -> num_docs
     )

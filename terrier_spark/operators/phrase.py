@@ -268,5 +268,54 @@ def phrase_match_indexed(idx, phrase: str) -> DataFrame:
         lambda pdf: match_bucket(pdf), schema=out_schema
     )
     return matched.join(idx.docmap.select("doc_id", "docno"), "docno").select(
-        "doc_id", "n_occ"
+        "doc_id", "docno", "n_occ"
+    )
+
+
+def phrase_topk(idx, phrase: str, k: int = 10) -> DataFrame:
+    """BM25-ranked phrase query: the top-k docs CONTAINING ``phrase`` as
+    consecutive tokens, scored by BM25 over the phrase's terms (Terrier's
+    quoted-query semantics: the phrase is a filter, the ranking is the
+    bag-of-words score).
+
+    Composition of existing pieces, all DataFrame ops: the indexed
+    phrase matcher yields the (small) matching docno set; only the
+    phrase terms' blocks are decoded back to postings and semi-joined
+    against it BEFORE scoring, so the per-doc score aggregation runs
+    over |matches| x |terms| rows, never the full posting lists.
+    Returns (doc_id, n_occ, score) ordered by (score desc, docno asc).
+    """
+    from terrier_spark.oracle import tokenize as py_tokenize
+    from terrier_spark.operators.index_build import postings_from_blocks
+    from terrier_spark.operators.score import bm25_score_col, idf_col
+
+    terms = sorted(set(py_tokenize(phrase, stem=idx.stem)))
+    m = phrase_match_indexed(idx, phrase)  # (doc_id, docno, n_occ)
+    dm = idx.docmap.select("doc_id", "docno")
+
+    posts = postings_from_blocks(idx.blocks.filter(F.col("term").isin(terms)))
+    lex = idx.lexicon.filter(F.col("term").isin(terms)).select("term", "df")
+    scored = (
+        posts.join(F.broadcast(lex), "term")
+        .join(m.select("docno", "n_occ"), "docno")  # semi-restrict to matches
+        .withColumn(
+            "partial",
+            bm25_score_col(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                idf_col(F.col("df").cast("double"), idx.num_docs),
+                idx.avgdl,
+            ),
+        )
+        .groupBy("docno", "n_occ")
+        .agg(F.round(F.sum("partial"), 9).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("docno").asc())
+        .limit(k)
+    )
+    # k-row side broadcast into the docmap join (never shuffle the
+    # docmap — same discipline as the BM25 scorers)
+    return (
+        dm.join(F.broadcast(scored), "docno")
+        .orderBy(F.col("score").desc(), F.col("docno").asc())
+        .select("doc_id", "n_occ", "score")
     )

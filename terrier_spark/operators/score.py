@@ -306,8 +306,12 @@ def bm25_topk_batch(
     qid_no = {q: i for i, q in enumerate(qids)}
     qterms = {q: _query_terms(queries[q], stem=index.stem) for q in qids}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
+    # empty-result schema must match the populated path (whose doc_id
+    # type comes from the docmap), or downstream unions break only on
+    # the rare all-unknown-terms query set
+    id_type = index.docmap.schema["doc_id"].dataType.simpleString()
     empty = spark.createDataFrame(
-        [], "qid string, doc_id string, docno long, score double, rank long"
+        [], f"qid string, doc_id {id_type}, docno long, score double, rank long"
     )
     if not all_terms:
         return empty

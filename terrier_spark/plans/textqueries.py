@@ -57,7 +57,10 @@ def _built_index(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _INDEX_CACHE:
         while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
-            _, old = _INDEX_CACHE.popitem()
+            # evict the OLDEST insertion (dict preserves insertion order;
+            # popitem() alone would pop the NEWEST — LIFO — and pin the
+            # first corpus forever)
+            old = _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
             for h in (old.blocks, old.lexicon, old.docmap):
                 if h is not None:
                     h.unpersist()

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +52,14 @@ from terrier_spark.operators.index_build import (
 )
 
 MANIFEST = "manifest.json"
+
+# Serializes read-modify-write manifest transitions between the
+# foreachBatch sink thread and a maintenance compact() running in the
+# same driver process (the supported deployment: one writer process per
+# index_dir).  Cross-process writers are out of contract — the atomic
+# rename keeps readers safe, but two uncoordinated writers could still
+# lose each other's segments.
+_MANIFEST_LOCK = threading.Lock()
 
 
 def _read_manifest(index_dir: str) -> list[dict]:
@@ -94,6 +103,16 @@ def ingest_batch(
         return 0
     seg_name = f"seg_{batch_id:08d}"
     seg_dir = os.path.join(index_dir, seg_name)
+    # Replay after a compact(): a compacted segment with batch_id >= B
+    # already FOLDS batch B in (compaction collapses all batches up to
+    # its id).  Re-ingesting would add the batch's docs a second time
+    # under a different segment name — skip instead (idempotence has to
+    # survive the rename the compactor performs).
+    if any(
+        s.get("compacted") and s["batch_id"] >= batch_id
+        for s in _read_manifest(index_dir)
+    ):
+        return 0
     idx = build_index(
         batch, id_col=id_col, text_col=text_col,
         bucket_span=bucket_span, stem=stem, positions=positions,
@@ -107,10 +126,11 @@ def ingest_batch(
                     h.unpersist()
                 except Exception:
                     pass
-    segments = [s for s in _read_manifest(index_dir) if s["name"] != seg_name]
-    segments.append({"name": seg_name, "batch_id": batch_id, "num_docs": n})
-    segments.sort(key=lambda s: s["batch_id"])
-    _commit_manifest(index_dir, segments)
+    with _MANIFEST_LOCK:
+        segments = [s for s in _read_manifest(index_dir) if s["name"] != seg_name]
+        segments.append({"name": seg_name, "batch_id": batch_id, "num_docs": n})
+        segments.sort(key=lambda s: s["batch_id"])
+        _commit_manifest(index_dir, segments)
     return n
 
 
@@ -174,8 +194,60 @@ def compact(spark: SparkSession, index_dir: str) -> InvertedIndex:
     max_bid = max(s["batch_id"] for s in segments)
     name = f"seg_{max_bid:08d}_compacted"
     write_index(merged, os.path.join(index_dir, name))
-    _commit_manifest(
-        index_dir,
-        [{"name": name, "batch_id": max_bid, "num_docs": merged.num_docs}],
-    )
+    with _MANIFEST_LOCK:
+        # Re-read at commit time: segments the ingest sink committed
+        # WHILE we were writing the compacted fold (batch_id > max_bid)
+        # must survive — replacing the whole list from the stale read
+        # would silently drop them (and streaming never replays a batch
+        # its checkpoint recorded as done).
+        current = _read_manifest(index_dir)
+        late = [s for s in current if s["batch_id"] > max_bid]
+        _commit_manifest(
+            index_dir,
+            [
+                {
+                    "name": name,
+                    "batch_id": max_bid,
+                    "num_docs": merged.num_docs,
+                    "compacted": True,
+                }
+            ]
+            + late,
+        )
     return load_index(spark, os.path.join(index_dir, name))
+
+
+def maybe_compact(
+    spark: SparkSession, index_dir: str, max_segments: int = 8
+) -> InvertedIndex | None:
+    """Tiered maintenance policy: compact only when the manifest has
+    grown past ``max_segments`` (each live-index open plans k-1 block
+    rebases, so k is a read-amplification knob exactly like Lucene's
+    segment count).  Returns the compacted index, or None if below the
+    threshold.  Schedulable from the ingest loop: call it after every
+    batch; it's a manifest read when there's nothing to do."""
+    if len(_read_manifest(index_dir)) <= max_segments:
+        return None
+    return compact(spark, index_dir)
+
+
+def vacuum(index_dir: str) -> list[str]:
+    """Delete segment DIRECTORIES no longer referenced by the manifest
+    (compaction leaves the old segment dirs in place so concurrent
+    readers holding the previous manifest keep working — the same
+    deferred-deletion contract as Lucene/Iceberg snapshot expiry).
+    Call it once in-flight readers are done.  Returns removed paths."""
+    import shutil
+
+    live = {s["name"] for s in _read_manifest(index_dir)}
+    removed = []
+    for entry in sorted(os.listdir(index_dir)):
+        p = os.path.join(index_dir, entry)
+        if (
+            entry.startswith("seg_")
+            and entry not in live
+            and os.path.isdir(p)
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+    return removed

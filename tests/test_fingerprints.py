@@ -80,3 +80,29 @@ def test_kernel_equals_sql_shape_truncated_windows(spark):
     b = winnowing_fingerprints_sql_shape(df, k=K, w=W).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert a  # short-but-≥k docs do emit fingerprints
+
+
+def test_kernel_ascii_whitespace_matches_sql_shape(spark):
+    """Non-ASCII whitespace (NBSP) must NOT be collapsed: the JVM plan
+    and the DuckDB oracle use ASCII \\s, so the Arrow kernel pins
+    re.ASCII too.  Regression for the r3 review finding."""
+    from terrier_spark.functions.text_stats import (
+        winnowing_fingerprints, winnowing_fingerprints_sql_shape,
+    )
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, winnowing_fingerprints(df, text_col="text").collect()))
+    exp = sorted(map(tuple, winnowing_fingerprints_sql_shape(df, text_col="text").collect()))
+    assert got == exp
+    # and with a window tight enough that every gram matters, the NBSP
+    # doc must fingerprint differently from its plain-space twin (a
+    # Unicode-\s kernel would collapse them to identical texts)
+    tight = lambda frame: {
+        (r["doc_id"], r["fp"])
+        for r in winnowing_fingerprints(frame, k=4, w=2, text_col="text").collect()
+    }
+    fp1 = {fp for d, fp in tight(df) if d == 1}
+    fp2 = {fp for d, fp in tight(df) if d == 2}
+    assert fp1 != fp2

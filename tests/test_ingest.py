@@ -123,3 +123,95 @@ def test_empty_batch_is_skipped(spark, corpus_sdf, dirs):
     n = ingest.ingest_batch(empty, 0, dirs["idx"], bucket_span=SPAN)
     assert n == 0
     assert ingest._read_manifest(dirs["idx"]) == []
+
+
+def _tiny(spark, lo, hi):
+    rows = [(i, f"alpha beta doc{i} int return") for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_many_small_segments_no_docno_collision(spark, dirs):
+    """Rebase must use the docno-space EXTENT, not the doc count: three
+    batches far smaller than the span pad each merge to a bucket
+    boundary, so an offset derived from num_docs would hand segment 3
+    the docno range segment 2 already occupies (two docs per docno —
+    silently summed scores).  Regression for the r3 review finding."""
+    for b in range(3):
+        ingest.ingest_batch(
+            _tiny(spark, b * 10, b * 10 + 10), b, dirs["idx"], bucket_span=SPAN
+        )
+    live = ingest.open_live_index(spark, dirs["idx"])
+    docnos = [r["docno"] for r in live.docmap.select("docno").collect()]
+    assert len(docnos) == 30
+    assert len(set(docnos)) == 30, "docno ranges collided across segments"
+    # limit outruns count because of per-merge padding
+    assert live.docno_limit >= max(docnos) + 1 > live.num_docs
+    # and the merged index still scores exactly like a batch build
+    full = build_index(
+        _tiny(spark, 0, 30), id_col="doc_id", text_col="content", bucket_span=SPAN
+    )
+    assert {(d, s) for d, s in _scores(live)} == {(d, s) for d, s in _scores(full)}
+
+
+def test_replay_after_compact_is_noop(spark, dirs):
+    """A compacted segment FOLDS IN every batch up to its id; an
+    at-least-once replay of one of those batches must not re-add its
+    docs under a fresh segment name.  Regression for the r3 review
+    finding (rename defeating the name-keyed upsert)."""
+    for b in range(2):
+        ingest.ingest_batch(
+            _tiny(spark, b * 10, b * 10 + 10), b, dirs["idx"], bucket_span=SPAN
+        )
+    ingest.compact(spark, dirs["idx"])
+    n = ingest.ingest_batch(_tiny(spark, 10, 20), 1, dirs["idx"], bucket_span=SPAN)
+    assert n == 0
+    manifest = ingest._read_manifest(dirs["idx"])
+    assert len(manifest) == 1 and manifest[0].get("compacted")
+    assert ingest.open_live_index(spark, dirs["idx"]).num_docs == 20
+
+
+def test_compact_preserves_segment_committed_during_fold(spark, dirs, monkeypatch):
+    """A segment the ingest sink commits WHILE compact() is writing the
+    fold must survive the manifest swap (compact re-reads at commit
+    time).  Regression for the r3 review finding (stale read-modify-
+    write dropping concurrent batches permanently)."""
+    for b in range(2):
+        ingest.ingest_batch(
+            _tiny(spark, b * 10, b * 10 + 10), b, dirs["idx"], bucket_span=SPAN
+        )
+    orig_write = ingest.write_index
+
+    def write_then_ingest_late(idx, out_dir):
+        orig_write(idx, out_dir)
+        if out_dir.endswith("_compacted"):
+            monkeypatch.setattr(ingest, "write_index", orig_write)
+            ingest.ingest_batch(
+                _tiny(spark, 20, 30), 7, dirs["idx"], bucket_span=SPAN
+            )
+
+    monkeypatch.setattr(ingest, "write_index", write_then_ingest_late)
+    ingest.compact(spark, dirs["idx"])
+    manifest = ingest._read_manifest(dirs["idx"])
+    assert [s["batch_id"] for s in manifest] == [1, 7]
+    assert ingest.open_live_index(spark, dirs["idx"]).num_docs == 30
+
+
+def test_maybe_compact_threshold_and_vacuum(spark, dirs):
+    for b in range(4):
+        ingest.ingest_batch(
+            _tiny(spark, b * 10, b * 10 + 10), b, dirs["idx"], bucket_span=SPAN
+        )
+    # below threshold: no-op
+    assert ingest.maybe_compact(spark, dirs["idx"], max_segments=8) is None
+    assert len(ingest._read_manifest(dirs["idx"])) == 4
+    # above threshold: compacts to one segment
+    out = ingest.maybe_compact(spark, dirs["idx"], max_segments=3)
+    assert out is not None and len(ingest._read_manifest(dirs["idx"])) == 1
+    # old segment dirs survive for in-flight readers until vacuum
+    import os
+    segs = [d for d in os.listdir(dirs["idx"]) if d.startswith("seg_")]
+    assert len(segs) == 5
+    removed = ingest.vacuum(dirs["idx"])
+    assert len(removed) == 4
+    live = ingest.open_live_index(spark, dirs["idx"])
+    assert live.num_docs == 40

@@ -187,3 +187,28 @@ def test_positions_require_aligned_build(spark):
     )
     with pytest.raises(ValueError, match="positions=True requires"):
         build_index(bad, id_col="doc_id", text_col="text", positions=True)
+
+
+def test_phrase_topk_ranks_matching_docs(spark, docs, pos_index):
+    """phrase_topk = BM25 over the phrase terms, restricted to docs the
+    phrase actually matches; rank-identical to the python oracle
+    filtered the same way."""
+    from terrier_spark import oracle
+    from terrier_spark.operators.phrase import phrase_topk
+
+    rows = docs.collect()
+    o = oracle.build_index([(str(r["doc_id"]), r["text"] or "") for r in rows])
+    q = "quick brown"
+    matched = set(_match_dict(phrase_match(docs, q, text_col="text")))
+    exp = [
+        (int(d), s) for d, s in oracle.bm25_topk(o, q, 10) if int(d) in matched
+    ][:3]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in phrase_topk(pos_index, q, 3).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, gs), (_, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-8
+    # every returned doc really contains the phrase
+    assert {d for d, _ in got} <= matched
