@@ -133,24 +133,37 @@ def main() -> None:
             if shutil.which("taskset")
             else []
         )
+        import resource
+        import time as _time
+
         load1 = float(open("/proc/loadavg").read().split()[0])
         s0 = _cpu_snap()
+        ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+        t_start = _time.monotonic()
         p = subprocess.run(
             pin + [sys.executable, "-c", CHILD, str(c), corpus, elog],
             capture_output=True, text=True, env=env, cwd=repo_root,
         )
+        t_run = max(_time.monotonic() - t_start, 1e-9)
+        ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
         s1 = _cpu_snap()
         if p.returncode != 0:
             raise RuntimeError(f"child cores={c} failed:\n{p.stderr[-3000:]}")
         wall = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])["wall"]
         stats = parse_log(elog)
-        # noise annotations: whole-host steal% and foreign-busy% (user+
-        # system beyond what our pinned child could account for) let a
-        # replicate harvester keep only quiet-window runs
+        # Noise annotations, as fractions of TOTAL host cpu time over
+        # the run: steal, and FOREIGN busy = host user+system minus the
+        # child's own cpu (rusage of reaped children) — raw host busy
+        # would be dominated by the benchmark itself and useless as a
+        # quiet-window filter.
         d = [b - a for a, b in zip(s0, s1)]
         tot = max(sum(d), 1)
+        ncpu = os.cpu_count() or 1
+        child_cpu_s = (ru1.ru_utime + ru1.ru_stime) - (ru0.ru_utime + ru0.ru_stime)
+        child_pct = 100.0 * child_cpu_s / (t_run * ncpu)
+        host_busy_pct = 100.0 * (d[0] + d[2]) / tot
         stats["host_steal_pct"] = round(100 * d[7] / tot, 2)
-        stats["host_busy_pct"] = round(100 * (d[0] + d[2]) / tot, 2)
+        stats["foreign_busy_pct"] = round(max(host_busy_pct - child_pct, 0.0), 2)
         stats["load1_start"] = load1
         results.append({"cores": c, "warm_build_wall_s": round(wall, 3), **stats})
         print(f"# cores={c}: warm wall {wall:.2f}s, "

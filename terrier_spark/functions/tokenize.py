@@ -73,23 +73,13 @@ def py_tokenize_iter(texts: Iterator[str]) -> Iterator[list[str]]:
 ARROW_SLICE_DOCS = 2048
 
 
-def tokenize_count_slice(content, stem: bool = False):
-    """Tokenize + per-doc term-frequency aggregation for ONE content
-    array slice (the shared Arrow hot-path core):
-
-      utf8_lower → split_pattern_regex (RE2) → list_flatten
-      → dictionary_encode (term → int32 code, no Python strings)
-      → Arrow hash group_by on (doc index, code) → tf
-
-    With ``stem=True`` the Porter-lite stemmer (functions/stem.py) is
-    applied to the VOCAB (once per distinct term), codes are remapped,
-    and (doc, stemmed-code) pairs re-aggregated — doc lengths keep the
-    raw token count (stemming merges terms, it doesn't delete tokens).
-
-    Returns (u_doc, u_code, tf, dl, vocab): one entry per distinct
-    (doc, term) pair (u_doc indexes into the slice), per-doc token
-    counts dl (len == slice size), and the term dictionary.
-    """
+def _tokenize_encode_slice(content, stem: bool = False):
+    """Shared tokenize/encode prefix of both slice kernels: lowercase →
+    RE2 split → flatten → dictionary-encode → drop empty tokens
+    (→ stem-remap codes when asked).  Returns (doc_idx, codes, dl,
+    vocab): one entry per KEPT token occurrence, in document order,
+    plus per-doc kept-token counts and the (possibly stemmed) term
+    dictionary."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -109,6 +99,31 @@ def tokenize_count_slice(content, stem: bool = False):
     doc_idx = doc_idx[keep]
     codes = codes[keep]
     dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    if stem and len(vocab):
+        from terrier_spark.functions.stem import stem_vocab_codes
+
+        vocab, code_map = stem_vocab_codes(vocab)
+        codes = code_map[codes]
+    return doc_idx, codes, dl, vocab
+
+
+def tokenize_count_slice(content, stem: bool = False):
+    """Tokenize + per-doc term-frequency aggregation for ONE content
+    array slice (the shared Arrow hot-path core):
+
+      _tokenize_encode_slice (RE2 + dictionary encode, stem-remapped)
+      → Arrow hash group_by on (doc index, code) → tf
+
+    Doc lengths keep the raw kept-token count (stemming merges terms,
+    it doesn't delete tokens).
+
+    Returns (u_doc, u_code, tf, dl, vocab): one entry per distinct
+    (doc, term) pair (u_doc indexes into the slice), per-doc token
+    counts dl (len == slice size), and the term dictionary.
+    """
+    import pyarrow as pa
+
+    doc_idx, codes, dl, vocab = _tokenize_encode_slice(content, stem=stem)
     # per-(doc, term) tf via Arrow's single-pass C++ hash aggregation
     # (measured 3x faster than the sort inside np.unique)
     agg = (
@@ -119,18 +134,6 @@ def tokenize_count_slice(content, stem: bool = False):
     u_doc = agg.column("d").to_numpy(zero_copy_only=False)
     u_code = agg.column("c").to_numpy(zero_copy_only=False)
     tf = agg.column("count_all").to_numpy(zero_copy_only=False)
-    if stem and len(vocab):
-        from terrier_spark.functions.stem import stem_vocab_codes
-
-        vocab, code_map = stem_vocab_codes(vocab)
-        agg2 = (
-            pa.table({"d": u_doc, "c": code_map[u_code], "tf": tf})
-            .group_by(["d", "c"], use_threads=False)
-            .aggregate([("tf", "sum")])
-        )
-        u_doc = agg2.column("d").to_numpy(zero_copy_only=False)
-        u_code = agg2.column("c").to_numpy(zero_copy_only=False)
-        tf = agg2.column("tf_sum").to_numpy(zero_copy_only=False)
     return u_doc, u_code, tf, dl, vocab
 
 
@@ -148,33 +151,12 @@ def tokenize_count_slice_pos(content, stem: bool = False):
     (doc, code, pos) + run-length grouping rather than the hash
     aggregation of the non-positional path — positions force a total
     order anyway, so the sort does both jobs in one pass.  With
-    ``stem=True`` codes are remapped to stemmed vocab BEFORE the sort,
-    which merge-sorts the position runs of terms the stemmer conflates
-    (positions always index RAW kept tokens).
+    ``stem=True`` codes are remapped to stemmed vocab BEFORE the sort
+    (inside the shared prefix), which merge-sorts the position runs of
+    terms the stemmer conflates (positions always index RAW kept
+    tokens).
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    n = len(content)
-    content = pc.coalesce(content, pa.scalar("", pa.string()))
-    toks = pc.split_pattern_regex(pc.utf8_lower(content), TOKEN_PATTERN)
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-    flat = pc.list_flatten(toks)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
-    enc = pc.dictionary_encode(flat)
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = enc.dictionary
-    doc_idx = doc_idx[keep]
-    codes = codes[keep]
-    dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
-    if stem and len(vocab):
-        from terrier_spark.functions.stem import stem_vocab_codes
-
-        vocab, code_map = stem_vocab_codes(vocab)
-        codes = code_map[codes]
+    doc_idx, codes, dl, vocab = _tokenize_encode_slice(content, stem=stem)
     if len(doc_idx) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z, z, dl, vocab, z

@@ -290,14 +290,15 @@ def phrase_topk(idx, phrase: str, k: int = 10) -> DataFrame:
     from terrier_spark.operators.score import bm25_score_col, idf_col
 
     terms = sorted(set(py_tokenize(phrase, stem=idx.stem)))
+    # the matcher already joined the docmap once — carry doc_id through
+    # the scoring aggregation instead of paying a second docmap pass
     m = phrase_match_indexed(idx, phrase)  # (doc_id, docno, n_occ)
-    dm = idx.docmap.select("doc_id", "docno")
 
     posts = postings_from_blocks(idx.blocks.filter(F.col("term").isin(terms)))
     lex = idx.lexicon.filter(F.col("term").isin(terms)).select("term", "df")
-    scored = (
+    return (
         posts.join(F.broadcast(lex), "term")
-        .join(m.select("docno", "n_occ"), "docno")  # semi-restrict to matches
+        .join(m, "docno")  # restrict to matching docs BEFORE scoring
         .withColumn(
             "partial",
             bm25_score_col(
@@ -307,15 +308,9 @@ def phrase_topk(idx, phrase: str, k: int = 10) -> DataFrame:
                 idx.avgdl,
             ),
         )
-        .groupBy("docno", "n_occ")
+        .groupBy("docno", "doc_id", "n_occ")
         .agg(F.round(F.sum("partial"), 9).alias("score"))
         .orderBy(F.col("score").desc(), F.col("docno").asc())
         .limit(k)
-    )
-    # k-row side broadcast into the docmap join (never shuffle the
-    # docmap — same discipline as the BM25 scorers)
-    return (
-        dm.join(F.broadcast(scored), "docno")
-        .orderBy(F.col("score").desc(), F.col("docno").asc())
         .select("doc_id", "n_occ", "score")
     )

@@ -49,6 +49,10 @@ def _scratch_dir(name: str) -> str:
     prefix = os.path.join(
         tempfile.gettempdir(), f"terrier_spark_scratch_{getpass.getuser()}_"
     )
+    # pre-pid-suffix versions used one shared dir; sweep it too
+    legacy = prefix[:-1]
+    if os.path.isdir(legacy):
+        shutil.rmtree(legacy, ignore_errors=True)
     # best-effort sweep of scratch left by DEAD processes (keeps the
     # no-litter property without sharing live dirs between sessions)
     for d in glob.glob(prefix + "*"):

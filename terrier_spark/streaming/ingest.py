@@ -127,7 +127,16 @@ def ingest_batch(
                 except Exception:
                     pass
     with _MANIFEST_LOCK:
-        segments = [s for s in _read_manifest(index_dir) if s["name"] != seg_name]
+        segments = _read_manifest(index_dir)
+        # Re-check the compacted-fold condition INSIDE the lock: a
+        # concurrent compact() may have folded this batch while we were
+        # building the segment above — committing it now would double
+        # its docs.  The orphaned segment dir is cleaned by vacuum().
+        if any(
+            s.get("compacted") and s["batch_id"] >= batch_id for s in segments
+        ):
+            return 0
+        segments = [s for s in segments if s["name"] != seg_name]
         segments.append({"name": seg_name, "batch_id": batch_id, "num_docs": n})
         segments.sort(key=lambda s: s["batch_id"])
         _commit_manifest(index_dir, segments)
@@ -231,23 +240,41 @@ def maybe_compact(
     return compact(spark, index_dir)
 
 
-def vacuum(index_dir: str) -> list[str]:
+def vacuum(index_dir: str, min_age_s: float = 3600.0) -> list[str]:
     """Delete segment DIRECTORIES no longer referenced by the manifest
     (compaction leaves the old segment dirs in place so concurrent
     readers holding the previous manifest keep working — the same
     deferred-deletion contract as Lucene/Iceberg snapshot expiry).
-    Call it once in-flight readers are done.  Returns removed paths."""
-    import shutil
+    Call it once in-flight readers are done.  Returns removed paths.
 
-    live = {s["name"] for s in _read_manifest(index_dir)}
+    ``min_age_s`` protects IN-PROGRESS segments: write_index runs
+    before (and outside) the manifest commit, so a freshly written dir
+    may be unreferenced only because its commit hasn't happened yet —
+    deleting it would corrupt the index the writer is about to publish.
+    Only dirs whose newest file is older than the threshold qualify
+    (an in-progress write is by definition recent); pass 0 only when
+    no writer can be active."""
+    import shutil
+    import time
+
+    with _MANIFEST_LOCK:
+        live = {s["name"] for s in _read_manifest(index_dir)}
+    now = time.time()
     removed = []
     for entry in sorted(os.listdir(index_dir)):
         p = os.path.join(index_dir, entry)
-        if (
-            entry.startswith("seg_")
-            and entry not in live
-            and os.path.isdir(p)
-        ):
-            shutil.rmtree(p, ignore_errors=True)
-            removed.append(p)
+        if not (entry.startswith("seg_") and entry not in live and os.path.isdir(p)):
+            continue
+        try:
+            newest = max(
+                os.path.getmtime(os.path.join(root, f))
+                for root, _, files in os.walk(p)
+                for f in files
+            )
+        except ValueError:  # empty dir
+            newest = os.path.getmtime(p)
+        if now - newest < min_age_s:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
     return removed

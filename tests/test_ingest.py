@@ -211,7 +211,7 @@ def test_maybe_compact_threshold_and_vacuum(spark, dirs):
     import os
     segs = [d for d in os.listdir(dirs["idx"]) if d.startswith("seg_")]
     assert len(segs) == 5
-    removed = ingest.vacuum(dirs["idx"])
+    removed = ingest.vacuum(dirs["idx"], min_age_s=0)
     assert len(removed) == 4
     live = ingest.open_live_index(spark, dirs["idx"])
     assert live.num_docs == 40

@@ -212,3 +212,59 @@ def test_phrase_topk_ranks_matching_docs(spark, docs, pos_index):
         assert abs(gs - es) < 1e-8
     # every returned doc really contains the phrase
     assert {d for d, _ in got} <= matched
+
+
+def test_stemmed_positional_index_phrase_and_positions(spark):
+    """stem=True positional path: codes are remapped to stemmed vocab
+    BEFORE the positional sort, so conflated terms' position runs must
+    come out merge-sorted (searchsorted in the phrase kernel relies on
+    per-posting ascending positions).  Also pins Terrier's stemmed
+    phrase semantics: query terms stem, adjacency applies to raw
+    positions."""
+    import numpy as np
+
+    from terrier_spark.operators.compress import (
+        decode_positions, decode_posting_list,
+    )
+    from terrier_spark.operators.index_build import build_index
+    from terrier_spark.operators.phrase import phrase_match_indexed
+
+    rows = [
+        # 'running'/'runs'/'run' all stem to 'run': doc 1 interleaves
+        # them so the merged position run exercises the merge-sort
+        (1, "running fast runs faster run fastest running"),
+        (2, "jumped high jumping higher"),
+        (3, "fast running"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(
+        docs, id_col="doc_id", text_col="text", positions=True, stem=True
+    )
+    # positions of stemmed 'run' in doc 1 = merged occurrences of all
+    # three surface forms, strictly ascending
+    blk = idx.blocks.filter(F.col("term") == "run").collect()
+    assert blk, "stemmed term missing from positional blocks"
+    got_pos = {}
+    for row in blk:
+        dns, tfs = decode_posting_list(bytes(row["docno_blob"]), bytes(row["tf_blob"]))
+        pos = decode_positions(bytes(row["pos_blob"]), tfs)
+        off = 0
+        for dn, tf in zip(dns, tfs):
+            tf = int(tf)
+            got_pos[int(dn)] = pos[off:off + tf].tolist()
+            off += tf
+    # doc_id 1 -> docno 0 (ids sorted); kept-token positions 0,2,4,6
+    assert got_pos[0] == [0, 2, 4, 6]
+    assert all(
+        all(a < b for a, b in zip(p, p[1:])) for p in got_pos.values()
+    ), "merged stemmed position runs must be strictly ascending"
+    # stemmed phrase: "runs fast" stems to (run, fast); adjacency on raw
+    # positions matches doc 1 ("running fast") and doc... doc 3 is
+    # "fast running" (wrong order) -> only doc 1
+    m = {r["doc_id"]: r["n_occ"] for r in phrase_match_indexed(idx, "runs fast").collect()}
+    assert m == {1: 1}
+    # reversed phrase: doc 3, and doc 1 via its fast@1 -> run@2 pair
+    m2 = {r["doc_id"]: r["n_occ"] for r in phrase_match_indexed(idx, "fast running").collect()}
+    assert m2 == {1: 1, 3: 1}
+    for h in (idx.blocks, idx.lexicon):
+        h.unpersist()
