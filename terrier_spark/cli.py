@@ -72,7 +72,10 @@ def cmd_build_index(args) -> None:
             for df in (idx.blocks, idx.docmap, idx.lexicon):
                 df.unpersist()
         t0 = time.monotonic()
-        idx = build_index(docs, id_col="doc_id", text_col="content")
+        idx = build_index(
+            docs, id_col="doc_id", text_col="content",
+            positions=args.positions,
+        )
         if args.out:
             write_index(idx, args.out)
         else:
@@ -107,19 +110,30 @@ def cmd_query(args) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     idx = load_index(spark, args.index)
     t0 = time.monotonic()
-    rows = bm25_topk_blocks(idx, args.query, args.k).collect()
+    if args.phrase:
+        from terrier_spark.operators.phrase import phrase_topk
+
+        rows = phrase_topk(idx, args.query, args.k).collect()
+        results = [
+            {"doc_id": r["doc_id"], "n_occ": r["n_occ"], "score": r["score"]}
+            for r in rows
+        ]
+    else:
+        rows = bm25_topk_blocks(idx, args.query, args.k).collect()
+        results = [
+            {"doc_id": r["doc_id"], "docno": r["docno"], "score": r["score"]}
+            for r in rows
+        ]
     dt = time.monotonic() - t0
     print(
         json.dumps(
             {
                 "op": "query",
                 "query": args.query,
+                "phrase": bool(args.phrase),
                 "k": args.k,
                 "seconds": round(dt, 3),
-                "results": [
-                    {"doc_id": r["doc_id"], "docno": r["docno"], "score": r["score"]}
-                    for r in rows
-                ],
+                "results": results,
             }
         )
     )
@@ -156,7 +170,14 @@ def cmd_bench(args) -> None:
             # run outside it, so an unpinned "local[2]" silently uses
             # ~2x the CPUs and corrupts the N-vs-4N comparison.  A real
             # c-core executor confines python workers the same way.
-            pin = [taskset, "-c", f"0-{c-1}"] if taskset else []
+            # Pin to the TOP of the cpu range: low vcpus on this host
+            # carry ~6x the hypervisor steal (BENCH/BASELINE.md §2).
+            ncpu = os.cpu_count() or c
+            pin = (
+                [taskset, "-c", f"{max(ncpu - c, 0)}-{ncpu - 1}"]
+                if taskset
+                else []
+            )
             p = subprocess.run(
                 pin
                 + [
@@ -219,6 +240,10 @@ def main(argv=None) -> None:
     b.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
     b.add_argument("--reps", type=int, default=1)
     b.add_argument("--corpus-parquet", default=None)
+    b.add_argument(
+        "--positions", action="store_true",
+        help="store per-occurrence token positions (phrase queries)",
+    )
     b.set_defaults(fn=cmd_build_index)
 
     g = sub.add_parser("gen-corpus")
@@ -232,6 +257,11 @@ def main(argv=None) -> None:
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--cores", type=int, default=None)
+    q.add_argument(
+        "--phrase", action="store_true",
+        help="quoted-phrase semantics: match consecutive tokens "
+             "(requires an index built with --positions)",
+    )
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("bench")
