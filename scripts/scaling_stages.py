@@ -115,6 +115,19 @@ def _cpu_snap() -> list[int]:
         return [int(x) for x in f.readline().split()[1:]]
 
 
+def _percpu_busy() -> dict[int, int]:
+    """cpu -> user+system ticks, per cpu."""
+    out: dict[int, int] = {}
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and line[3].isdigit():
+                parts = line.split()
+                cpu = int(parts[0][3:])
+                vals = [int(x) for x in parts[1:]]
+                out[cpu] = vals[0] + vals[2]
+    return out
+
+
 def main() -> None:
     corpus = sys.argv[1]
     levels = [int(c) for c in (sys.argv[2:] or ["8", "32"])]
@@ -133,37 +146,38 @@ def main() -> None:
             if shutil.which("taskset")
             else []
         )
-        import resource
-        import time as _time
-
         load1 = float(open("/proc/loadavg").read().split()[0])
         s0 = _cpu_snap()
-        ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
-        t_start = _time.monotonic()
+        pc0 = _percpu_busy()
         p = subprocess.run(
             pin + [sys.executable, "-c", CHILD, str(c), corpus, elog],
             capture_output=True, text=True, env=env, cwd=repo_root,
         )
-        t_run = max(_time.monotonic() - t_start, 1e-9)
-        ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+        pc1 = _percpu_busy()
         s1 = _cpu_snap()
         if p.returncode != 0:
             raise RuntimeError(f"child cores={c} failed:\n{p.stderr[-3000:]}")
         wall = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])["wall"]
         stats = parse_log(elog)
-        # Noise annotations, as fractions of TOTAL host cpu time over
-        # the run: steal, and FOREIGN busy = host user+system minus the
-        # child's own cpu (rusage of reaped children) — raw host busy
-        # would be dominated by the benchmark itself and useless as a
-        # quiet-window filter.
+        # Noise annotations: whole-host steal%, and OFF-RANGE busy% —
+        # user+system on the cpus OUTSIDE the child's pinned range, as
+        # a fraction of those cpus' time.  The whole child tree is
+        # taskset-confined, so off-range busy is other workloads in
+        # this VM (e.g. a concurrent test run) — the contamination a
+        # replicate filter needs.  (A prior rusage-based variant
+        # undercounted the child systematically: py4j never wait()s the
+        # Spark JVM, so its cpu time never lands in RUSAGE_CHILDREN.)
         d = [b - a for a, b in zip(s0, s1)]
         tot = max(sum(d), 1)
         ncpu = os.cpu_count() or 1
-        child_cpu_s = (ru1.ru_utime + ru1.ru_stime) - (ru0.ru_utime + ru0.ru_stime)
-        child_pct = 100.0 * child_cpu_s / (t_run * ncpu)
-        host_busy_pct = 100.0 * (d[0] + d[2]) / tot
+        pinned = set(range(max(ncpu - c, 0), ncpu)) if pin else set(range(ncpu))
+        off = [cpu for cpu in pc0 if cpu not in pinned]
+        off_busy = sum(pc1[cpu] - pc0[cpu] for cpu in off)
+        off_total = (tot // ncpu) * max(len(off), 1)
         stats["host_steal_pct"] = round(100 * d[7] / tot, 2)
-        stats["foreign_busy_pct"] = round(max(host_busy_pct - child_pct, 0.0), 2)
+        stats["offrange_busy_pct"] = (
+            round(100 * off_busy / max(off_total, 1), 2) if off else None
+        )
         stats["load1_start"] = load1
         results.append({"cores": c, "warm_build_wall_s": round(wall, 3), **stats})
         print(f"# cores={c}: warm wall {wall:.2f}s, "
