@@ -272,6 +272,122 @@ def phrase_match_indexed(idx, phrase: str) -> DataFrame:
     )
 
 
+def proximity_match_indexed(idx, query: str, window: int) -> DataFrame:
+    """Unordered-window proximity operator (Terrier/Indri ``#uwN``):
+    docs where ALL the query's distinct terms co-occur within SOME span
+    of ``window`` consecutive token positions, in any order.  Returns
+    (doc_id, docno, min_span) with min_span = the smallest such span —
+    callers filter/score on it; ``min_span <= window`` always holds for
+    returned rows.
+
+    Exact span semantics (not "within +/-w of an anchor"), computed
+    fully vectorized from the compressed positional index: per bucket,
+    the union occurrence stream of the query terms is walked as window
+    ENDS; for each end, the candidate window START is the minimum over
+    terms of that term's latest occurrence <= end (one searchsorted per
+    term over the same packed (local docno, position) keys the phrase
+    kernel uses — a minimal window always ends at some term occurrence,
+    so scanning ends over the union stream is exhaustive).  Same plan
+    shape as phrase_match_indexed: blocks filter -> conjunctive bucket
+    prune -> bucket-parallel kernel -> docmap join.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from terrier_spark.oracle import tokenize as py_tokenize
+    from terrier_spark.operators.compress import (
+        decode_positions, decode_posting_list,
+    )
+
+    if not idx.positions:
+        raise ValueError(
+            "index was built without positions; rebuild with "
+            "build_index(..., positions=True)"
+        )
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    need = sorted(set(py_tokenize(query, stem=idx.stem)))
+    if not need:
+        raise ValueError("query has no tokens under the pinned tokenizer")
+    span = idx.bucket_span
+
+    cand = idx.blocks.filter(F.col("term").isin(need))
+    if len(need) > 1:
+        ok = (
+            cand.groupBy("bucket")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(need))
+            .select("bucket")
+        )
+        cand = cand.join(ok, "bucket")
+
+    out_schema = StructType(
+        [
+            StructField("docno", LongType(), False),
+            StructField("min_span", LongType(), False),
+        ]
+    )
+    m = len(need)
+    NEG = np.int64(-(1 << 40))
+
+    def match_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"docno": pd.Series(dtype=np.int64), "min_span": pd.Series(dtype=np.int64)}
+        )
+        if not len(pdf):
+            return empty
+        base = int(pdf["bucket"].iloc[0]) * span
+        keys: dict[str, np.ndarray] = {}
+        pos_of: dict[str, np.ndarray] = {}
+        dn_of: dict[str, np.ndarray] = {}
+        for t, grp in pdf.sort_values("first_docno").groupby("term", sort=False):
+            dn_l, tf_l, po_l = [], [], []
+            for row in grp.itertuples(index=False):
+                dn, tf = decode_posting_list(bytes(row.docno_blob), bytes(row.tf_blob))
+                po = decode_positions(bytes(row.pos_blob), tf)
+                dn_l.append(np.repeat(dn.astype(np.int64) - base, tf.astype(np.int64)))
+                po_l.append(po)
+            dns = np.concatenate(dn_l)
+            pos = np.concatenate(po_l)
+            keys[t] = (dns << np.int64(32)) | pos
+            pos_of[t] = pos
+            dn_of[t] = dns
+        if any(t not in keys for t in need):
+            return empty
+        # union occurrence stream = window ends
+        u_keys = np.sort(np.concatenate([keys[t] for t in need]))
+        u_dn = u_keys >> np.int64(32)
+        u_pos = u_keys & np.int64(0xFFFFFFFF)
+        # per end, per term: latest occurrence <= end IN THE SAME DOC
+        starts = np.full(len(u_keys), np.int64(1 << 40))
+        valid = np.ones(len(u_keys), dtype=bool)
+        for t in need:
+            ks, ps, ds = keys[t], pos_of[t], dn_of[t]
+            j = np.searchsorted(ks, u_keys, side="right") - 1
+            ok_t = (j >= 0) & (ds[np.maximum(j, 0)] == u_dn)
+            last_pos = np.where(ok_t, ps[np.maximum(j, 0)], NEG)
+            valid &= ok_t
+            starts = np.minimum(starts, last_pos)
+        spans = np.where(valid, u_pos - starts + 1, np.int64(1 << 40))
+        hit = valid & (spans <= window)
+        if not hit.any():
+            return empty
+        df_out = pd.DataFrame({"dn": u_dn[hit], "s": spans[hit]})
+        agg = df_out.groupby("dn", sort=False)["s"].min()
+        return pd.DataFrame(
+            {
+                "docno": agg.index.to_numpy(np.int64) + base,
+                "min_span": agg.to_numpy(np.int64),
+            }
+        )
+
+    matched = cand.groupBy("bucket").applyInPandas(
+        lambda pdf: match_bucket(pdf), schema=out_schema
+    )
+    return matched.join(idx.docmap.select("doc_id", "docno"), "docno").select(
+        "doc_id", "docno", "min_span"
+    )
+
+
 def phrase_topk(idx, phrase: str, k: int = 10) -> DataFrame:
     """BM25-ranked phrase query: the top-k docs CONTAINING ``phrase`` as
     consecutive tokens, scored by BM25 over the phrase's terms (Terrier's

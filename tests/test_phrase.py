@@ -268,3 +268,53 @@ def test_stemmed_positional_index_phrase_and_positions(spark):
     assert m2 == {1: 1, 3: 1}
     for h in (idx.blocks, idx.lexicon):
         h.unpersist()
+
+
+def _brute_min_span(text, terms):
+    """Reference min-window: smallest token span containing all terms."""
+    toks = phrase_terms(text)  # pinned tokenizer, whole doc
+    best = None
+    occ = [(i, t) for i, t in enumerate(toks) if t in terms]
+    for j, (pj, tj) in enumerate(occ):
+        seen = {}
+        for i in range(j, -1, -1):
+            pi, ti = occ[i]
+            seen[ti] = pi
+            if len(seen) == len(terms):
+                span = pj - pi + 1
+                best = span if best is None else min(best, span)
+                break
+    return best
+
+
+def test_proximity_unordered_window(spark, docs, pos_index):
+    """proximity_match_indexed == brute-force min-window twin over the
+    pinned tokenizer, for every doc and several windows."""
+    from terrier_spark.operators.phrase import proximity_match_indexed
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for q in ["quick dog", "foo bar", "the lazy", "quick brown fox"]:
+        terms = set(phrase_terms(q))
+        exp_span = {
+            d: _brute_min_span(t, terms)
+            for d, t in texts.items()
+            if _brute_min_span(t, terms) is not None
+        }
+        for w in (1, 2, 3, 5, 9, 50):
+            got = {
+                r["doc_id"]: r["min_span"]
+                for r in proximity_match_indexed(pos_index, q, w).collect()
+            }
+            exp = {d: s for d, s in exp_span.items() if s <= w}
+            assert got == exp, (q, w, got, exp)
+
+
+def test_proximity_requires_positions(spark, docs):
+    from terrier_spark.operators.index_build import build_index
+    from terrier_spark.operators.phrase import proximity_match_indexed
+
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    with pytest.raises(ValueError, match="without positions"):
+        proximity_match_indexed(idx, "quick brown", 4)
+    for h in (idx.blocks, idx.lexicon):
+        h.unpersist()
