@@ -116,7 +116,9 @@ def _cpu_snap() -> list[int]:
 
 
 def _percpu_busy() -> dict[int, int]:
-    """cpu -> user+system ticks, per cpu."""
+    """cpu -> user+nice+system ticks, per cpu (nice included so a
+    `nice -n 19` background workload can't hide from the off-range
+    contamination annotation)."""
     out: dict[int, int] = {}
     with open("/proc/stat") as f:
         for line in f:
@@ -124,7 +126,7 @@ def _percpu_busy() -> dict[int, int]:
                 parts = line.split()
                 cpu = int(parts[0][3:])
                 vals = [int(x) for x in parts[1:]]
-                out[cpu] = vals[0] + vals[2]
+                out[cpu] = vals[0] + vals[1] + vals[2]
     return out
 
 
@@ -137,13 +139,19 @@ def main() -> None:
         elog = tempfile.mkdtemp(prefix=f"ts_elog_{c}_")
         env = dict(os.environ)
         env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-tmp")
-        # Pin to the TOP of the cpu range: measured on this host, low
-        # vcpus carry ~6x the hypervisor steal of high ones (neighbor
-        # VMs are packed low) — 8.4% vs 1.5% during identical runs.
-        ncpu = os.cpu_count() or c
+        # Pin to the TOP of the ALLOWED cpu set: measured on this host,
+        # low vcpus carry ~6x the hypervisor steal of high ones
+        # (neighbor VMs are packed low) — 8.4% vs 1.5% during identical
+        # runs.  sched_getaffinity (not cpu_count) so cpuset-restricted
+        # environments can't make taskset EINVAL.
+        try:
+            allowed = sorted(os.sched_getaffinity(0))
+        except AttributeError:
+            allowed = list(range(os.cpu_count() or c))
+        chosen = allowed[-c:] if len(allowed) >= c else allowed
         pin = (
-            [shutil.which("taskset"), "-c", f"{max(ncpu - c, 0)}-{ncpu - 1}"]
-            if shutil.which("taskset")
+            [shutil.which("taskset"), "-c", ",".join(map(str, chosen))]
+            if shutil.which("taskset") and chosen
             else []
         )
         load1 = float(open("/proc/loadavg").read().split()[0])
@@ -170,7 +178,7 @@ def main() -> None:
         d = [b - a for a, b in zip(s0, s1)]
         tot = max(sum(d), 1)
         ncpu = os.cpu_count() or 1
-        pinned = set(range(max(ncpu - c, 0), ncpu)) if pin else set(range(ncpu))
+        pinned = set(chosen) if pin else set(range(ncpu))
         off = [cpu for cpu in pc0 if cpu not in pinned]
         off_busy = sum(pc1[cpu] - pc0[cpu] for cpu in off)
         off_total = (tot // ncpu) * max(len(off), 1)

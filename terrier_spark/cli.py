@@ -63,7 +63,10 @@ def cmd_build_index(args) -> None:
         # timed run measures steady-state throughput (the reference's
         # benchmark harness warms per-worker for 20s the same way,
         # /root/reference/benchmark/runner/tpch_runner.cpp:85-100).
-        w = build_index(_corpus(spark, 2000), id_col="doc_id", text_col="content")
+        w = build_index(
+            _corpus(spark, 2000), id_col="doc_id", text_col="content",
+            positions=args.positions,
+        )
         w.blocks.count()
     times = []
     idx = None
@@ -170,12 +173,18 @@ def cmd_bench(args) -> None:
             # run outside it, so an unpinned "local[2]" silently uses
             # ~2x the CPUs and corrupts the N-vs-4N comparison.  A real
             # c-core executor confines python workers the same way.
-            # Pin to the TOP of the cpu range: low vcpus on this host
-            # carry ~6x the hypervisor steal (BENCH/BASELINE.md §2).
-            ncpu = os.cpu_count() or c
+            # Pin to the TOP of the ALLOWED cpu set: low vcpus on this
+            # host carry ~6x the hypervisor steal (BENCH/BASELINE.md
+            # §2); sched_getaffinity (not cpu_count) so a cpuset-
+            # restricted environment can't make taskset EINVAL.
+            try:
+                allowed = sorted(os.sched_getaffinity(0))
+            except AttributeError:  # non-Linux
+                allowed = list(range(os.cpu_count() or c))
+            chosen = allowed[-c:] if len(allowed) >= c else allowed
             pin = (
-                [taskset, "-c", f"{max(ncpu - c, 0)}-{ncpu - 1}"]
-                if taskset
+                [taskset, "-c", ",".join(map(str, chosen))]
+                if taskset and chosen
                 else []
             )
             p = subprocess.run(

@@ -160,6 +160,60 @@ def phrase_match(
     )
 
 
+def _require_positions(idx) -> None:
+    if not idx.positions:
+        raise ValueError(
+            "index was built without positions; rebuild with "
+            "build_index(..., positions=True)"
+        )
+
+
+def _candidate_blocks(idx, need: list[str]) -> DataFrame:
+    """Blocks of the query terms, with the conjunctive bucket prune: a
+    bucket lacking any required term cannot match, which bounds the
+    kernel's input by the rarest term's bucket set (one row per bucket
+    — no broadcast-size assumptions; the join shuffles on the same key
+    the kernel groups by)."""
+    cand = idx.blocks.filter(F.col("term").isin(need))
+    if len(need) > 1:
+        ok = (
+            cand.groupBy("bucket")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(need))
+            .select("bucket")
+        )
+        cand = cand.join(ok, "bucket")
+    return cand
+
+
+def _decode_occurrences(pdf: "pd.DataFrame", base: int) -> dict:
+    """term -> (local docno per OCCURRENCE, position per occurrence),
+    concatenated across the bucket's blocks in first_docno order so
+    both arrays are sorted by (docno, position) — the packed keys built
+    from them are ascending and searchsorted-ready."""
+    from terrier_spark.operators.compress import (
+        decode_positions, decode_posting_list,
+    )
+
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t, grp in pdf.sort_values("first_docno").groupby("term", sort=False):
+        dn_l, po_l = [], []
+        for row in grp.itertuples(index=False):
+            dn, tf = decode_posting_list(bytes(row.docno_blob), bytes(row.tf_blob))
+            po = decode_positions(bytes(row.pos_blob), tf)
+            dn_l.append(np.repeat(dn.astype(np.int64) - base, tf.astype(np.int64)))
+            po_l.append(po)
+        out[t] = (np.concatenate(dn_l), np.concatenate(po_l))
+    return out
+
+
+def _pack(dn: np.ndarray, po: np.ndarray) -> np.ndarray:
+    """(local docno, position) packed into one sortable int64 key;
+    positions < 2^32 and local docnos < span <= 2^18, so it fits with
+    room."""
+    return (dn << np.int64(32)) | po
+
+
 def phrase_match_indexed(idx, phrase: str) -> DataFrame:
     """(doc_id, n_occ) for ``phrase`` evaluated AGAINST THE COMPRESSED
     POSITIONAL INDEX (build_index(positions=True)) — no re-tokenization
@@ -183,35 +237,14 @@ def phrase_match_indexed(idx, phrase: str) -> DataFrame:
     from pyspark.sql.types import LongType, StructField, StructType
 
     from terrier_spark.oracle import tokenize as py_tokenize
-    from terrier_spark.operators.compress import (
-        decode_positions, decode_posting_list,
-    )
 
-    if not idx.positions:
-        raise ValueError(
-            "index was built without positions; rebuild with "
-            "build_index(..., positions=True)"
-        )
+    _require_positions(idx)
     terms = py_tokenize(phrase, stem=idx.stem)
     if not terms:
         raise ValueError("phrase has no tokens under the pinned tokenizer")
     need = sorted(set(terms))
     span = idx.bucket_span
-
-    cand = idx.blocks.filter(F.col("term").isin(need))
-    if len(need) > 1:
-        # conjunctive bucket prune: a bucket lacking any phrase term
-        # cannot match; keeps the kernel's input bounded by the rarest
-        # term's bucket set (one row per bucket — never broadcast-sized
-        # assumptions, the join shuffles on the same key the kernel
-        # groups by)
-        ok = (
-            cand.groupBy("bucket")
-            .agg(F.count_distinct("term").alias("nt"))
-            .filter(F.col("nt") == len(need))
-            .select("bucket")
-        )
-        cand = cand.join(ok, "bucket")
+    cand = _candidate_blocks(idx, need)
 
     out_schema = StructType(
         [
@@ -227,32 +260,14 @@ def phrase_match_indexed(idx, phrase: str) -> DataFrame:
         if not len(pdf):
             return empty
         base = int(pdf["bucket"].iloc[0]) * span
-        # per term: concatenated (local docno, tf, positions) streams in
-        # block order (first_docno ascending -> keys ascending)
-        streams: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for t, grp in pdf.sort_values("first_docno").groupby("term", sort=False):
-            dn_l, tf_l, po_l = [], [], []
-            for row in grp.itertuples(index=False):
-                dn, tf = decode_posting_list(bytes(row.docno_blob), bytes(row.tf_blob))
-                po = decode_positions(bytes(row.pos_blob), tf)
-                dn_l.append(dn.astype(np.int64) - base)
-                tf_l.append(tf.astype(np.int64))
-                po_l.append(po)
-            streams[t] = (
-                np.concatenate(dn_l), np.concatenate(tf_l), np.concatenate(po_l)
-            )
-        if any(t not in streams for t in need):
+        occ = _decode_occurrences(pdf, base)
+        if any(t not in occ for t in need):
             return empty
-        # (local docno, position) packed keys; positions < 2^32 and local
-        # docnos < span <= 2^18, so the key fits int64 with room
-        keys: dict[str, np.ndarray] = {}
-        for t, (dn, tf, po) in streams.items():
-            keys[t] = (np.repeat(dn, tf) << np.int64(32)) | po
-        a_dn, a_tf, a_po = streams[terms[0]]
-        anchor_dn = np.repeat(a_dn, a_tf)
+        keys = {t: _pack(dn, po) for t, (dn, po) in occ.items()}
+        anchor_dn, a_po = occ[terms[0]]
         ok = np.ones(len(a_po), dtype=bool)
         for i, t in enumerate(terms[1:], start=1):
-            want = (anchor_dn << np.int64(32)) | (a_po + i)
+            want = _pack(anchor_dn, a_po + i)
             ks = keys[t]
             j = np.searchsorted(ks, want)
             ok &= (j < len(ks)) & (ks[np.minimum(j, len(ks) - 1)] == want)
@@ -294,31 +309,15 @@ def proximity_match_indexed(idx, query: str, window: int) -> DataFrame:
     from pyspark.sql.types import LongType, StructField, StructType
 
     from terrier_spark.oracle import tokenize as py_tokenize
-    from terrier_spark.operators.compress import (
-        decode_positions, decode_posting_list,
-    )
 
-    if not idx.positions:
-        raise ValueError(
-            "index was built without positions; rebuild with "
-            "build_index(..., positions=True)"
-        )
+    _require_positions(idx)
     if window < 1:
         raise ValueError("window must be >= 1")
     need = sorted(set(py_tokenize(query, stem=idx.stem)))
     if not need:
         raise ValueError("query has no tokens under the pinned tokenizer")
     span = idx.bucket_span
-
-    cand = idx.blocks.filter(F.col("term").isin(need))
-    if len(need) > 1:
-        ok = (
-            cand.groupBy("bucket")
-            .agg(F.count_distinct("term").alias("nt"))
-            .filter(F.col("nt") == len(need))
-            .select("bucket")
-        )
-        cand = cand.join(ok, "bucket")
+    cand = _candidate_blocks(idx, need)
 
     out_schema = StructType(
         [
@@ -326,7 +325,6 @@ def proximity_match_indexed(idx, query: str, window: int) -> DataFrame:
             StructField("min_span", LongType(), False),
         ]
     )
-    m = len(need)
     NEG = np.int64(-(1 << 40))
 
     def match_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -336,23 +334,12 @@ def proximity_match_indexed(idx, query: str, window: int) -> DataFrame:
         if not len(pdf):
             return empty
         base = int(pdf["bucket"].iloc[0]) * span
-        keys: dict[str, np.ndarray] = {}
-        pos_of: dict[str, np.ndarray] = {}
-        dn_of: dict[str, np.ndarray] = {}
-        for t, grp in pdf.sort_values("first_docno").groupby("term", sort=False):
-            dn_l, tf_l, po_l = [], [], []
-            for row in grp.itertuples(index=False):
-                dn, tf = decode_posting_list(bytes(row.docno_blob), bytes(row.tf_blob))
-                po = decode_positions(bytes(row.pos_blob), tf)
-                dn_l.append(np.repeat(dn.astype(np.int64) - base, tf.astype(np.int64)))
-                po_l.append(po)
-            dns = np.concatenate(dn_l)
-            pos = np.concatenate(po_l)
-            keys[t] = (dns << np.int64(32)) | pos
-            pos_of[t] = pos
-            dn_of[t] = dns
-        if any(t not in keys for t in need):
+        occ = _decode_occurrences(pdf, base)
+        if any(t not in occ for t in need):
             return empty
+        keys = {t: _pack(dn, po) for t, (dn, po) in occ.items()}
+        pos_of = {t: po for t, (_, po) in occ.items()}
+        dn_of = {t: dn for t, (dn, _) in occ.items()}
         # union occurrence stream = window ends
         u_keys = np.sort(np.concatenate([keys[t] for t in need]))
         u_dn = u_keys >> np.int64(32)
