@@ -58,8 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_tumbling": R.q_events_tumbling,
         "q_theta_band_join": R.q_theta_band_join,
         "q_scalar_funcs": R.q_scalar_funcs,
-        "q_csv_scan": R.q_csv_scan,
         "q_index_lookup": R.q_index_lookup,
+        # carries the CSVScan round-trip + constant-tuple Result legs
+        # (consolidated r4 to free the slot for ir_proximity)
         "q_dml_roundtrip": R.q_dml_roundtrip,
         "q_prepared": R.q_prepared,
         # ANALYZE / sketch statistics (§2.9)
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_bm25_topk_and": T.ir_bm25_topk_and,
         "ir_bm25_batch": T.ir_bm25_batch,
         "ir_phrase": T.ir_phrase,
+        "ir_proximity": T.ir_proximity,
         # text analysis
         "text_stats": T.text_stats,
         "text_fingerprints": T.text_fingerprints,

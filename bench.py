@@ -118,25 +118,46 @@ def main() -> None:
     )
 
     # BM25 top-10 latency over a warm index (query-path latency, separate
-    # from build): mean over the reference-style query mix.
-    from terrier_spark.operators.score import bm25_topk_blocks, bm25_topk_exploded
+    # from build): mean over the reference-style query mix, through the
+    # single-query batch-kernel path (bm25_topk — one Spark action with
+    # the driver lexicon cache hot; VERDICT r3 item 7).
+    from terrier_spark.operators.score import (
+        bm25_topk, bm25_topk_blocks, bm25_topk_exploded,
+    )
 
     idx.postings.persist().count()
     idx.blocks.persist().count()
     queries = ["int return", "foo_bar baz", "template namespace std", "func defer chan", "idx ptr val buf"]
+    # warm the path once: fills the per-index driver lexicon cache and
+    # the Python workers for the batch kernel (session cost, not plan
+    # cost — every later query benefits identically)
+    bm25_topk(idx, "int warmup", 10).collect()
     lat = []
     for q in queries:
         t0 = time.monotonic()
-        bm25_topk_exploded(idx, q, 10).collect()
+        bm25_topk(idx, q, 10).collect()
         lat.append(time.monotonic() - t0)
     bm25_mean = sum(lat) / len(lat)
     timings["ir_bm25_query_warm"] = round(bm25_mean, 3)
     total += bm25_mean
+    # the exploded-postings plan, tracked separately (round-over-round
+    # comparability with r1-r3, where ir_bm25_query_warm measured it)
+    lat_ex = []
+    for q in queries:
+        t0 = time.monotonic()
+        bm25_topk_exploded(idx, q, 10).collect()
+        lat_ex.append(time.monotonic() - t0)
+    timings["ir_bm25_exploded_warm"] = round(sum(lat_ex) / len(lat_ex), 3)
+    total += sum(lat_ex) / len(lat_ex)
     t0 = time.monotonic()
     bm25_topk_blocks(idx, "int return foo_bar", 10).collect()
     timings["ir_bm25_blocks_warm"] = round(time.monotonic() - t0, 3)
     total += timings["ir_bm25_blocks_warm"]
-    print(f"# bm25 warm query mean: {bm25_mean:.3f}s", file=sys.stderr)
+    print(
+        f"# bm25 warm query mean: {bm25_mean:.3f}s single-action path, "
+        f"{timings['ir_bm25_exploded_warm']:.3f}s exploded",
+        file=sys.stderr,
+    )
 
     # Whole-query-set batch evaluation: the SAME 5 queries in ONE pass
     # (shared scan/decode, one window for all top-ks) — compare against
@@ -154,6 +175,79 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Positional build + phrase-query rows (the r3 flagship feature was
+    # previously untracked round-over-round — VERDICT r3 item 5): build
+    # the SAME corpus with positions=True and run a phrase + proximity
+    # query warm over it.
+    from terrier_spark.operators.phrase import (
+        phrase_match_indexed, proximity_match_indexed,
+    )
+
+    t0 = time.monotonic()
+    pidx = build_index(docs, id_col="doc_id", text_col="content", positions=True)
+    pidx.blocks.count()
+    pidx.lexicon.count()
+    pos_build_s = time.monotonic() - t0
+    timings["ir_index_build_pos_20k"] = round(pos_build_s, 3)
+    total += pos_build_s
+    print(
+        f"# positional build: {BENCH_CORPUS_DOCS} docs in {pos_build_s:.2f}s = "
+        f"{BENCH_CORPUS_DOCS / pos_build_s:.0f} docs/s "
+        f"({pos_build_s / build_s:.2f}x the plain build)",
+        file=sys.stderr,
+    )
+    phrase_match_indexed(pidx, "int return").count()  # warm the kernel
+    t0 = time.monotonic()
+    n_ph = phrase_match_indexed(pidx, "int return").count()
+    timings["ir_phrase_warm"] = round(time.monotonic() - t0, 3)
+    total += timings["ir_phrase_warm"]
+    t0 = time.monotonic()
+    proximity_match_indexed(pidx, "int return", 8).count()
+    timings["ir_proximity_warm"] = round(time.monotonic() - t0, 3)
+    total += timings["ir_proximity_warm"]
+    print(
+        f"# phrase warm: {timings['ir_phrase_warm']:.3f}s ({n_ph} docs), "
+        f"proximity warm: {timings['ir_proximity_warm']:.3f}s",
+        file=sys.stderr,
+    )
+    for h in (pidx.blocks, pidx.lexicon, pidx.docmap):
+        if h is not None:
+            h.unpersist()
+
+    # DML throughput (the reference's TPC-C items/sec analog,
+    # benchmark/integration/tpcc_benchmark.cpp:153-155 — VERDICT r3 item
+    # 10): MERGE upsert + UPDATE + DELETE through sources/dml.py over a
+    # scratch copy of orders; rows/s = table rows rewritten per second.
+    import shutil as _shutil
+
+    from terrier_spark.plans.relational import _scratch_dir
+    from terrier_spark.sources import dml
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_orders = orders.count()
+    dml_path = _scratch_dir("bench_dml_orders")
+    _shutil.rmtree(dml_path, ignore_errors=True)
+    dml.create_table(orders, dml_path)
+    upd_src = orders.limit(n_orders // 10).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.01
+    )
+    t0 = time.monotonic()
+    dml.merge_upsert(spark, dml_path, upd_src, ["o_orderkey"])
+    dml.update_where(
+        spark, dml_path, F.col("o_orderstatus") == "F",
+        {"o_totalprice": F.col("o_totalprice") * 0.99},
+    )
+    dml.delete_where(spark, dml_path, F.col("o_orderpriority") == "5-LOW")
+    dml_s = time.monotonic() - t0
+    timings["dml_merge_update_delete"] = round(dml_s, 3)
+    total += dml_s
+    print(
+        f"# dml merge+update+delete over {n_orders} rows x3 ops: "
+        f"{dml_s:.2f}s = {3 * n_orders / dml_s:.0f} rows/s",
+        file=sys.stderr,
+    )
+    _shutil.rmtree(dml_path, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline query wall-clock (relational + IR + dedup + similarity) & index-build throughput",
@@ -166,6 +260,14 @@ def main() -> None:
             "n_docs": BENCH_CORPUS_DOCS,
             "seconds": round(build_s, 3),
             "docs_per_sec": round(docs_per_sec, 1),
+            "positional_seconds": round(pos_build_s, 3),
+            "positional_docs_per_sec": round(BENCH_CORPUS_DOCS / pos_build_s, 1),
+        },
+        "dml": {
+            "n_rows": n_orders,
+            "ops": 3,
+            "seconds": round(dml_s, 3),
+            "rows_per_sec": round(3 * n_orders / dml_s, 1),
         },
     }
     print(json.dumps(out))

@@ -58,6 +58,48 @@ def _query_terms(query: str, stem: bool = False) -> list[str]:
     return sorted(set(py_tokenize(query, stem=stem)))
 
 
+# Driver-side lexicon cache: every query path needs {term: df} for its
+# terms, which used to be one dedicated Spark job per query (the
+# measured floor of warm single-query latency was this 2-3-job driver
+# chain, VERDICT r3 item 7).  A real IR engine keeps the lexicon hot in
+# memory; here the full (term, df) map is collected ONCE per index
+# while the vocabulary fits comfortably on the driver (~60 B/term →
+# 500k terms ≈ 30 MB), after which warm queries pay ZERO lexicon jobs.
+# Larger vocabularies (e.g. the open code-identifier space at 100 TB)
+# fall back to the per-query filtered collect — the pushdown term
+# filter keeps that collect O(query terms).
+LEX_DRIVER_CACHE_MAX_TERMS = 500_000
+
+
+def _lexicon_dfs(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
+    """{term: df} for the given terms, via the per-index driver cache."""
+    cache = getattr(index, "_lex_df_cache", None)
+    if cache is None:
+        if index.lexicon.count() <= LEX_DRIVER_CACHE_MAX_TERMS:
+            cache = {
+                r["term"]: int(r["df"])
+                for r in index.lexicon.select("term", "df").collect()
+            }
+        else:
+            cache = False  # vocabulary too large for the driver — no cache
+        index._lex_df_cache = cache
+    if cache is not False:
+        return {t: cache[t] for t in terms if t in cache}
+    rows = (
+        index.lexicon.filter(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def _idf_map(index: InvertedIndex, terms: list[str]) -> dict[str, float]:
+    return {
+        t: math.log((index.num_docs - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in _lexicon_dfs(index, terms).items()
+    }
+
+
 def _term_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
     """(term, docno, tf, dl) restricted to the query terms, decoding as
     little as possible.
@@ -152,11 +194,12 @@ def _bucket_topk(
     cannot be in the final top-k.  Emitted docs with score ≥ θ provably
     have no mass in any pruned block, so their scores are exact.
     """
-    spark = blocks.sparkSession
-    bidf = spark.sparkContext.broadcast(idf_map)
-
+    # idf_map is O(query terms) — embed it in the task closure rather
+    # than an explicit SparkContext broadcast, which would accumulate
+    # never-destroyed broadcast blocks on executors across a long-lived
+    # session's queries (ADVICE r3 on bm25_topk_batch; same pattern).
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        idfs = bidf.value
+        idfs = idf_map
         empty = pd.DataFrame(
             {"docno": pd.Series(dtype=np.int64), "score": pd.Series(dtype=np.float64)}
         )
@@ -223,14 +266,14 @@ def bm25_topk_conjunctive(
     terms = _query_terms(query, stem=index.stem)
     if not terms:
         return spark.createDataFrame([], "doc_id string, docno long, score double")
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    lex = index.lexicon.join(F.broadcast(tdf), "term").withColumn(
-        "idf", idf_col(F.col("df"), index.num_docs)
-    )
-    live = lex.count()  # terms actually present in the collection
-    if live < len(terms):
+    idfs = _idf_map(index, terms)  # driver lexicon cache — no count job
+    if len(idfs) < len(terms):
         # a doc can never contain an absent term — AND result is empty
         return spark.createDataFrame([], "doc_id string, docno long, score double")
+    live = len(idfs)
+    lex = spark.createDataFrame(
+        [(t, float(v)) for t, v in sorted(idfs.items())], "term string, idf double"
+    )
     cand = _term_postings(index, terms)
     scored = cand.join(F.broadcast(lex.select("term", "idf")), "term").select(
         "term",
@@ -315,24 +358,19 @@ def bm25_topk_batch(
     )
     if not all_terms:
         return empty
-    lex_rows = (
-        index.lexicon.filter(F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    )
-    idf_map = {
-        r["term"]: math.log((index.num_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
-        for r in lex_rows
-    }
+    idf_map = _idf_map(index, all_terms)  # driver lexicon cache: warm = 0 jobs
     if not idf_map:
         return empty
     live_qterms = {q: [t for t in ts if t in idf_map] for q, ts in qterms.items()}
     avgdl, knum = index.avgdl, k
 
-    bstate = spark.sparkContext.broadcast((idf_map, live_qterms, qid_no))
-
+    # Query state is O(query terms) — embedded in the task closure.  An
+    # explicit SparkContext broadcast here was never unpersisted, so a
+    # long-lived session issuing many batch evaluations accumulated
+    # broadcast blocks on executors (ADVICE r3); closures are released
+    # with the job.
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        idfs, lqt, qno = bstate.value
+        idfs, lqt, qno = idf_map, live_qterms, qid_no
         if not len(pdf):
             return pd.DataFrame(
                 {
@@ -413,6 +451,23 @@ def bm25_topk_batch(
     )
 
 
+def bm25_topk(
+    index: InvertedIndex, query: str, k: int = 10,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> DataFrame:
+    """Lowest-latency single-query top-k: the batch kernel with a
+    one-query set (VERDICT r3 item 7).  With the driver lexicon cache
+    hot this is ONE Spark action — filtered block scan → bucket kernel
+    → qid window → broadcast docmap join — with no per-query lexicon
+    job and no separate threshold pass.  Rank-identical to
+    bm25_topk_exploded / the oracle (pinned in tests/test_score.py).
+    Returns (doc_id, docno, score) ordered by (score desc, docno asc)."""
+    out = bm25_topk_batch(index, {"q": query}, k, k1=k1, b=b)
+    return out.select("doc_id", "docno", "score").orderBy(
+        F.desc("score"), F.asc("docno")
+    )
+
+
 def wand_prune_stats(
     index: InvertedIndex, query: str, k: int = 10,
     k1: float = BM25_K1, b: float = BM25_B,
@@ -428,14 +483,7 @@ def wand_prune_stats(
     heavily — tests/test_wand.py pins both behaviors."""
     spark = index.blocks.sparkSession
     terms = _query_terms(query, stem=index.stem)
-    lex = {
-        r["term"]: r["df"]
-        for r in index.lexicon.filter(F.col("term").isin(terms)).collect()
-    }
-    idf_map = {
-        t: math.log((index.num_docs - d + 0.5) / (d + 0.5) + 1.0)
-        for t, d in lex.items()
-    }
+    idf_map = _idf_map(index, terms)
     if len(idf_map) < 2:
         return {"total_blocks": 0, "kept_blocks": 0, "theta": None}
     rarest = max(idf_map, key=idf_map.get)
@@ -509,19 +557,17 @@ def bm25_topk_blocks(
     if not terms:
         return spark.createDataFrame([], "doc_id string, docno long, score double")
 
-    lex_rows = (
-        index.lexicon.filter(F.col("term").isin(terms)).select("term", "df").collect()
-    )
+    dfs = _lexicon_dfs(index, terms)  # driver lexicon cache: warm = 0 jobs
     idf_map = {
-        r["term"]: math.log((index.num_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
-        for r in lex_rows
+        t: math.log((index.num_docs - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in dfs.items()
     }
     if not idf_map:
         return spark.createDataFrame([], "doc_id string, docno long, score double")
     avgdl = index.avgdl
 
     if prune == "auto":
-        prune = sum(r["df"] for r in lex_rows) >= PRUNE_MIN_POSTINGS
+        prune = sum(dfs.values()) >= PRUNE_MIN_POSTINGS
 
     theta: float | None = None
     live_terms = sorted(idf_map)

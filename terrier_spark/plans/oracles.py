@@ -418,22 +418,10 @@ WHERE o_orderkey % 97 = 0
 ORDER BY o_orderkey
 """
 
-ORACLES["q_csv_scan"] = """
-SELECT p_partkey, p_brand, p_size,
-       p_name || ',"' || p_brand || '"' AS tricky,
-       k.*
-FROM part
-CROSS JOIN (
-    SELECT 1::BIGINT AS one,
-           (2 + 3)::BIGINT AS five,
-           'hello' AS greeting,
-           round(3.14 * 2, 6)::DOUBLE AS tau,
-           upper('abc') AS upper_abc
-) k
-WHERE p_size > 40
-ORDER BY p_partkey
-"""
-
+# q_dml_roundtrip also carries the CSVScan round-trip (tricky column
+# with delimiter/quote chars IN the data) and the constant-tuple Result
+# node (cross-joined literals) — consolidated r4 to free a driver slot
+# for ir_proximity.
 ORACLES["q_dml_roundtrip"] = """
 WITH del AS (
     SELECT * FROM supplier WHERE NOT coalesce(s_acctbal < 0, FALSE)
@@ -447,9 +435,18 @@ WITH del AS (
     SELECT s_suppkey + 10000 AS s_suppkey, s_name, s_nationkey, s_acctbal
     FROM supplier WHERE s_acctbal > 9000
 )
-SELECT s_suppkey, s_name, s_nationkey,
-       round(s_acctbal, 6)::DOUBLE AS s_acctbal
+SELECT s_suppkey, s_name, s_nationkey::BIGINT AS s_nationkey,
+       round(s_acctbal, 6)::DOUBLE AS s_acctbal,
+       s_name || ',"' || s_nationkey || '"' AS tricky,
+       k.*
 FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+CROSS JOIN (
+    SELECT 1::BIGINT AS one,
+           (2 + 3)::BIGINT AS five,
+           'hello' AS greeting,
+           round(3.14 * 2, 6)::DOUBLE AS tau,
+           upper('abc') AS upper_abc
+) k
 ORDER BY s_suppkey
 """
 
@@ -682,6 +679,52 @@ ORDER BY doc_id
 
 
 ORACLES["ir_phrase"] = _phrase_sql()
+
+
+def _proximity_sql() -> str:
+    """Exact #uwN min-span twin: per doc, the query terms' occurrence
+    stream ordered by position; at each occurrence (a candidate window
+    END) a per-term running max gives that term's latest position so
+    far, so the candidate window START is the least of them — the same
+    exhaustive ends-scan argument as the engine kernel (a minimal
+    window always ends at some term occurrence)."""
+    from terrier_spark.plans.textqueries import PROX_QUERY, PROX_WINDOW
+
+    terms = sorted(set(PROX_QUERY.lower().split()))
+    run_cols = ",\n".join(
+        f"           max(CASE WHEN term = '{t}' THEN pos END) OVER w AS p{i}"
+        for i, t in enumerate(terms)
+    )
+    pcols = ", ".join(f"p{i}" for i in range(len(terms)))
+    notnull = " AND ".join(f"p{i} IS NOT NULL" for i in range(len(terms)))
+    span = f"pos - least({pcols}) + 1"
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{_TOK}'),
+                       x -> x <> '') AS l
+    FROM documents
+), occ AS (
+    SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+    FROM toks
+), runs AS (
+    SELECT doc_id, pos,
+{run_cols}
+    FROM occ
+    WHERE term IN ({_sql_list(terms)})
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id::BIGINT AS doc_id, min({span})::BIGINT AS min_span
+FROM runs
+WHERE {notnull}
+GROUP BY doc_id
+HAVING min({span}) <= {PROX_WINDOW}
+ORDER BY doc_id
+"""
+
+
+ORACLES["ir_proximity"] = _proximity_sql()
 
 ORACLES["text_stats"] = f"""
 WITH tok_counts AS (

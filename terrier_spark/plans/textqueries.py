@@ -40,6 +40,12 @@ KNN_QUERY_VEC_ID = 0
 # docs at the driver's sf0.01, so the occurrence COUNT (not just the
 # match set) is oracle-verified.
 PHRASE_QUERY = "part spark line"
+# Proximity (#uwN): same terms UNORDERED within a 6-token span — a
+# strict superset of the phrase matches (span 3), so the entry is
+# non-trivial at every SF and the min_span VALUES (not just the match
+# set) differentiate phrase-adjacent docs from loose co-occurrences.
+PROX_QUERY = PHRASE_QUERY
+PROX_WINDOW = 6
 
 # One build per (session, sf_dir) for the ir_bm25_* entries: the driver
 # invokes them back-to-back in one session over static testdata, and the
@@ -160,6 +166,28 @@ def ir_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         phrase_match_indexed(idx, PHRASE_QUERY)
         .select(F.col("doc_id").cast("long").alias("doc_id"),
                 F.col("n_occ").cast("long").alias("n_occ"))
+        .orderBy("doc_id")
+    )
+
+
+def ir_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered-window proximity (#uwN) over the COMPRESSED POSITIONAL
+    INDEX (VERDICT r3 item 3 — the one shipped operator the oracle gate
+    never saw): docs where all PROX_QUERY terms co-occur within some
+    PROX_WINDOW-token span, with the exact minimal span.  Same
+    bucket-parallel kernel shape as the phrase matcher
+    (operators/phrase.py proximity_match_indexed); the DuckDB oracle
+    recomputes min_span with per-term running-max window functions over
+    the re-tokenized text.  Reference analog: Terrier/Indri #uwN."""
+    from terrier_spark.operators.phrase import proximity_match_indexed
+
+    idx = _built_index(spark, sf_dir)
+    return (
+        proximity_match_indexed(idx, PROX_QUERY, PROX_WINDOW)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("min_span").cast("long").alias("min_span"),
+        )
         .orderBy("doc_id")
     )
 

@@ -52,6 +52,12 @@ from terrier_spark.operators.index_build import (
 )
 
 MANIFEST = "manifest.json"
+# Commit sentinel: present in a segment dir from just before write_index
+# until the manifest commit that publishes it.  vacuum() skips dirs
+# carrying it REGARDLESS of age, so a writer stalled arbitrarily long
+# between write and commit can never have its segment deleted (the
+# previous guard was mtime-based and racy for stalls > min_age_s).
+IN_PROGRESS = "_IN_PROGRESS"
 
 # Serializes read-modify-write manifest transitions between the
 # foreachBatch sink thread and a maintenance compact() running in the
@@ -118,6 +124,9 @@ def ingest_batch(
         bucket_span=bucket_span, stem=stem, positions=positions,
     )
     try:
+        os.makedirs(seg_dir, exist_ok=True)
+        with open(os.path.join(seg_dir, IN_PROGRESS), "w"):
+            pass
         write_index(idx, seg_dir)
     finally:
         for h in (idx.blocks, idx.lexicon, idx.docmap):
@@ -131,15 +140,26 @@ def ingest_batch(
         # Re-check the compacted-fold condition INSIDE the lock: a
         # concurrent compact() may have folded this batch while we were
         # building the segment above — committing it now would double
-        # its docs.  The orphaned segment dir is cleaned by vacuum().
+        # its docs.  Delete the fully-written orphan segment right here:
+        # nothing will ever reference it, and leaving it for a vacuum()
+        # nobody is obliged to call accumulates dead segments forever.
         if any(
             s.get("compacted") and s["batch_id"] >= batch_id for s in segments
         ):
+            import shutil
+
+            shutil.rmtree(seg_dir, ignore_errors=True)
             return 0
         segments = [s for s in segments if s["name"] != seg_name]
         segments.append({"name": seg_name, "batch_id": batch_id, "num_docs": n})
         segments.sort(key=lambda s: s["batch_id"])
         _commit_manifest(index_dir, segments)
+        # Published: drop the commit sentinel (still inside the lock, so
+        # a concurrent vacuum can never see a committed-but-flagged dir).
+        try:
+            os.remove(os.path.join(seg_dir, IN_PROGRESS))
+        except FileNotFoundError:
+            pass
     return n
 
 
@@ -202,7 +222,11 @@ def compact(spark: SparkSession, index_dir: str) -> InvertedIndex:
     merged = open_live_index(spark, index_dir)
     max_bid = max(s["batch_id"] for s in segments)
     name = f"seg_{max_bid:08d}_compacted"
-    write_index(merged, os.path.join(index_dir, name))
+    comp_dir = os.path.join(index_dir, name)
+    os.makedirs(comp_dir, exist_ok=True)
+    with open(os.path.join(comp_dir, IN_PROGRESS), "w"):
+        pass
+    write_index(merged, comp_dir)
     with _MANIFEST_LOCK:
         # Re-read at commit time: segments the ingest sink committed
         # WHILE we were writing the compacted fold (batch_id > max_bid)
@@ -223,21 +247,37 @@ def compact(spark: SparkSession, index_dir: str) -> InvertedIndex:
             ]
             + late,
         )
-    return load_index(spark, os.path.join(index_dir, name))
+        try:
+            os.remove(os.path.join(comp_dir, IN_PROGRESS))
+        except FileNotFoundError:
+            pass
+    return load_index(spark, comp_dir)
 
 
 def maybe_compact(
-    spark: SparkSession, index_dir: str, max_segments: int = 8
+    spark: SparkSession,
+    index_dir: str,
+    max_segments: int = 8,
+    vacuum_min_age_s: float = 3600.0,
 ) -> InvertedIndex | None:
     """Tiered maintenance policy: compact only when the manifest has
     grown past ``max_segments`` (each live-index open plans k-1 block
     rebases, so k is a read-amplification knob exactly like Lucene's
     segment count).  Returns the compacted index, or None if below the
     threshold.  Schedulable from the ingest loop: call it after every
-    batch; it's a manifest read when there's nothing to do."""
+    batch; it's a manifest read when there's nothing to do.
+
+    After a successful compaction the now-unreferenced segment dirs are
+    vacuumed (aged by ``vacuum_min_age_s`` so concurrent readers holding
+    the previous manifest keep working; in-progress writers are protected
+    by the commit sentinel regardless of age) — without this, a streaming
+    loop that only ever calls maybe_compact accumulates dead segment
+    dirs indefinitely."""
     if len(_read_manifest(index_dir)) <= max_segments:
         return None
-    return compact(spark, index_dir)
+    idx = compact(spark, index_dir)
+    vacuum(index_dir, min_age_s=vacuum_min_age_s)
+    return idx
 
 
 def vacuum(index_dir: str, min_age_s: float = 3600.0) -> list[str]:
@@ -247,13 +287,17 @@ def vacuum(index_dir: str, min_age_s: float = 3600.0) -> list[str]:
     deferred-deletion contract as Lucene/Iceberg snapshot expiry).
     Call it once in-flight readers are done.  Returns removed paths.
 
-    ``min_age_s`` protects IN-PROGRESS segments: write_index runs
-    before (and outside) the manifest commit, so a freshly written dir
-    may be unreferenced only because its commit hasn't happened yet —
-    deleting it would corrupt the index the writer is about to publish.
-    Only dirs whose newest file is older than the threshold qualify
-    (an in-progress write is by definition recent); pass 0 only when
-    no writer can be active."""
+    IN-PROGRESS protection is the commit sentinel: writers create
+    ``_IN_PROGRESS`` inside the segment dir before write_index and
+    remove it under the manifest lock at commit, and vacuum skips any
+    dir carrying it REGARDLESS of age — so a writer stalled arbitrarily
+    long between write and commit is safe even at ``min_age_s=0``.
+    ``min_age_s`` additionally age-gates sentinel-less dirs: it keeps
+    just-dereferenced segments readable for in-flight readers holding
+    the previous manifest, and covers segments written by pre-sentinel
+    builds.  (A writer that CRASHES mid-write leaves its sentinel
+    behind; such a dir is never auto-deleted — remove it manually once
+    the crash is confirmed.)"""
     import shutil
     import time
 
@@ -265,6 +309,8 @@ def vacuum(index_dir: str, min_age_s: float = 3600.0) -> list[str]:
         p = os.path.join(index_dir, entry)
         if not (entry.startswith("seg_") and entry not in live and os.path.isdir(p)):
             continue
+        if os.path.exists(os.path.join(p, IN_PROGRESS)):
+            continue  # uncommitted writer, however old — never delete
         try:
             newest = max(
                 os.path.getmtime(os.path.join(root, f))

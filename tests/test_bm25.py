@@ -82,3 +82,13 @@ def test_batch_empty_query_set(spark_index):
     from terrier_spark.operators.score import bm25_topk_batch
 
     assert bm25_topk_batch(spark_index, {}, 10).count() == 0
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_single_query_batch_path_rank_identical(spark_index, oracle_index, query):
+    """bm25_topk — the low-latency single-query path through the batch
+    kernel (VERDICT r3 item 7) — must rank identically to the oracle."""
+    from terrier_spark.operators.score import bm25_topk
+
+    got = bm25_topk(spark_index, query, 10).collect()
+    _check(got, oracle.bm25_topk(oracle_index, query, 10))

@@ -132,3 +132,38 @@ def test_pair_ops_leave_no_persisted_rdds(spark, docs):
     dedup.minhash_lsh_pairs(docs, threshold=0.5, num_perm=128, bands=32, n=2).count()
     dedup.simhash_pairs_md5(docs, max_hamming=3).count()
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_vectorized_shingle_hashes_match_string_shingles():
+    """The Arrow/numpy shingle-hash kernel (no shingle strings) must
+    yield the same per-doc distinct counts and the same pairwise
+    Jaccard as the per-doc string shingler twin — equality of the hash
+    sets' intersections/unions with the string sets' (injective on
+    these corpora; cross-doc equal shingles hash equal by
+    construction)."""
+    import numpy as np
+    import pandas as pd
+
+    texts = [
+        "alpha beta gamma alpha beta gamma delta",
+        "alpha beta gamma",
+        "alpha beta gamma\u00a0delta",  # NBSP is NOT ASCII \\s
+        "  leading and trailing  ",
+        "one",                                # fewer than n tokens
+        "",
+        None,
+        "Mixed CASE Tokens mixed case tokens",
+        "tab\tsplit\nnewline\x0bvtab\x0cff\rcr end",
+    ]
+    n = 2
+    counts, vals = dedup._shingle_hash_batch(pd.Series(texts), n)
+    strs = dedup._shingle_arrays(texts, n)
+    assert counts.tolist() == [len(s) for s in strs]
+    offs = np.r_[0, np.cumsum(counts)]
+    hsets = [set(vals[offs[i]:offs[i + 1]].tolist()) for i in range(len(texts))]
+    ssets = [set(s.tolist()) for s in strs]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            hi, hu = len(hsets[i] & hsets[j]), len(hsets[i] | hsets[j])
+            si, su = len(ssets[i] & ssets[j]), len(ssets[i] | ssets[j])
+            assert (hi, hu) == (si, su), (i, j)

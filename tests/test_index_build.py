@@ -132,3 +132,42 @@ def test_python_murmur3_matches_jvm_hash(spark):
     for parts in (3, 8, 32, 100):
         salts = _exact_partition_salts(spark, parts)
         assert sorted(_murmur3_int32(s) % parts for s in salts) == list(range(parts))
+
+
+def test_cache_false_leaves_no_persisted_rdds(spark, corpus_sdf, oracle_index):
+    """build_index(cache=False) on NON-alignable ids (the shuffle
+    strategy, which routes through assign_docnos) must leave zero
+    persisted RDDs behind (VERDICT r3 hygiene #1: the ranged-id cache
+    used to be unpersisted only under `if cache`), and stay
+    rank-identical — docno assignment without the ranged cache rests on
+    RangePartitioner's deterministic per-partition sample seeds."""
+    from terrier_spark.oracle import bm25_topk as oracle_bm25
+    from terrier_spark.operators.index_build import build_index
+    from terrier_spark.operators.score import bm25_topk_exploded
+
+    # corpus_sdf is persisted by the fixture — measure the DELTA
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    # prefix breaks hex alignment -> forces the shuffle strategy
+    docs = corpus_sdf.select(
+        F.concat(F.lit("id-"), "doc_id").alias("doc_id"), "content"
+    )
+    idx = build_index(docs, id_col="doc_id", text_col="content", cache=False)
+    got = bm25_topk_exploded(idx, "int return", 10).collect()
+    assert jsc.getPersistentRDDs().size() == before, "cache=False leaked a persist"
+    exp = oracle_bm25(oracle_index, "int return", 10)
+    assert [r["doc_id"][3:] for r in got] == [d for d, _ in exp]
+    assert [round(r["score"], 9) for r in got] == [round(s, 9) for _, s in exp]
+
+
+def test_bucket_span_out_of_range_raises(spark, corpus_sdf):
+    """Caller-pinned spans outside [1, MAX_BUCKET_SPAN] must raise, not
+    silently corrupt the positional kernel's packed (docno, pos) keys
+    (ADVICE r3)."""
+    import pytest
+
+    from terrier_spark.operators.index_build import MAX_BUCKET_SPAN, build_index
+
+    for bad in (0, -5, MAX_BUCKET_SPAN + 1, 1 << 32):
+        with pytest.raises(ValueError, match="bucket_span"):
+            build_index(corpus_sdf, bucket_span=bad)

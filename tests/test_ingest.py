@@ -215,3 +215,73 @@ def test_maybe_compact_threshold_and_vacuum(spark, dirs):
     assert len(removed) == 4
     live = ingest.open_live_index(spark, dirs["idx"])
     assert live.num_docs == 40
+
+
+def test_orphan_segment_deleted_on_concurrent_compact_fold(spark, dirs, monkeypatch):
+    """If a concurrent compact() folds batch B while its segment is
+    being written, the locked re-check skips the commit — and must also
+    DELETE the fully-written orphan dir (ADVICE r4: nothing in the
+    streaming path is obliged to call vacuum, so orphans otherwise
+    accumulate forever)."""
+    for b in range(2):
+        ingest.ingest_batch(
+            _tiny(spark, b * 10, b * 10 + 10), b, dirs["idx"], bucket_span=SPAN
+        )
+    orig_write = ingest.write_index
+
+    def write_then_compact(idx, out_dir):
+        orig_write(idx, out_dir)
+        if not out_dir.endswith("_compacted"):
+            # a concurrent maintenance pass folds everything committed
+            # so far — batch_id 1 >= our in-flight batch 1
+            monkeypatch.setattr(ingest, "write_index", orig_write)
+            ingest.compact(spark, dirs["idx"])
+
+    # replay batch 1 (at-least-once) with the compactor racing it
+    monkeypatch.setattr(ingest, "write_index", write_then_compact)
+    n = ingest.ingest_batch(_tiny(spark, 10, 20), 1, dirs["idx"], bucket_span=SPAN)
+    assert n == 0
+    # the replayed segment dir must be gone, not orphaned on disk
+    assert not os.path.exists(os.path.join(dirs["idx"], "seg_00000001"))
+    assert ingest.open_live_index(spark, dirs["idx"]).num_docs == 20
+
+
+def test_vacuum_spares_stalled_uncommitted_writer(spark, dirs, monkeypatch):
+    """A writer stalled arbitrarily long between write_index and its
+    manifest commit must survive vacuum(min_age_s=0): the _IN_PROGRESS
+    commit sentinel protects the dir regardless of age (VERDICT r3
+    hygiene #4 — the old guard was mtime-based and racy for stalls
+    longer than min_age_s)."""
+    ingest.ingest_batch(_tiny(spark, 0, 10), 0, dirs["idx"], bucket_span=SPAN)
+    orig_write = ingest.write_index
+    vacuumed = {}
+
+    def write_then_stall(idx, out_dir):
+        orig_write(idx, out_dir)
+        # the "stall": an aggressive vacuum fires while this writer has
+        # written its segment but not yet committed the manifest entry
+        vacuumed["removed"] = ingest.vacuum(dirs["idx"], min_age_s=0)
+        vacuumed["survived"] = os.path.isdir(out_dir)
+
+    monkeypatch.setattr(ingest, "write_index", write_then_stall)
+    n = ingest.ingest_batch(_tiny(spark, 10, 20), 1, dirs["idx"], bucket_span=SPAN)
+    assert n == 10
+    assert vacuumed["removed"] == []
+    assert vacuumed["survived"]
+    # after commit the sentinel is gone and the segment is live
+    seg = os.path.join(dirs["idx"], "seg_00000001")
+    assert not os.path.exists(os.path.join(seg, ingest.IN_PROGRESS))
+    assert ingest.open_live_index(spark, dirs["idx"]).num_docs == 20
+
+
+def test_vacuum_still_removes_dead_unreferenced_dirs(spark, dirs):
+    """Sentinel-less unreferenced segment dirs (e.g. pre-sentinel
+    builds, or post-compaction leftovers) are still age-gated and
+    removed as before."""
+    ingest.ingest_batch(_tiny(spark, 0, 10), 0, dirs["idx"], bucket_span=SPAN)
+    dead = os.path.join(dirs["idx"], "seg_99999999")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "junk"), "w") as f:
+        f.write("x")
+    assert ingest.vacuum(dirs["idx"], min_age_s=0) == [dead]
+    assert not os.path.exists(dead)
