@@ -52,11 +52,15 @@ import pyspark
 os.environ.setdefault("SPARK_HOME", pyspark.__path__[0])
 from pyspark.sql import SparkSession
 workers = int(sys.argv[1]); cores = int(sys.argv[2])
-corpus = sys.argv[3]; elog = sys.argv[4]
+corpus = sys.argv[3]; elog = sys.argv[4]; pkg_zip = sys.argv[5]
 total = workers * cores
 mem_mb = 4096
 spark = (
     SparkSession.builder.master(f"local-cluster[{workers},{cores},{mem_mb}]")
+    # executors are SEPARATE processes: ship the package the same way a
+    # real cluster run would (spark-submit --py-files, per the north
+    # rule) so executor Python workers can unpickle the Arrow kernels
+    .config("spark.submit.pyFiles", pkg_zip)
     .config("spark.sql.shuffle.partitions", str(max(total, 8)))
     .config("spark.executor.memory", f"{mem_mb - 512}m")
     .config("spark.eventLog.enabled", "true")
@@ -78,14 +82,35 @@ docs = spark.read.parquet(corpus)
 # warm-up build (JIT, Arrow init, python worker forks) — not measured
 idx = build_index(docs, id_col="doc_id", text_col="content")
 idx.blocks.count(); idx.blocks.unpersist(); idx.lexicon.unpersist()
-spark.sparkContext.setJobGroup("measured", "measured build")
-t0 = time.monotonic()
-idx = build_index(docs, id_col="doc_id", text_col="content")
-idx.blocks.count(); idx.lexicon.count()
-wall = time.monotonic() - t0
-print(json.dumps({"wall": wall}))
+# TWO measured warm builds: per-level noise on this shared host is the
+# dominant error term, and min() of two is a far tighter estimator of
+# the level's capability than a single draw.
+walls = []
+for i in range(2):
+    spark.sparkContext.setJobGroup(f"measured{i}", f"measured build {i}")
+    t0 = time.monotonic()
+    idx = build_index(docs, id_col="doc_id", text_col="content")
+    idx.blocks.count(); idx.lexicon.count()
+    walls.append(time.monotonic() - t0)
+    idx.blocks.unpersist(); idx.lexicon.unpersist()
+print(json.dumps({"walls": walls}))
 spark.stop()
 """
+
+
+_PKG_ZIP: str | None = None
+
+
+def _pkg_zip(repo_root: str) -> str:
+    """Zip the terrier_spark package once per invocation (the
+    spark-submit --py-files artifact)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        base = os.path.join(tempfile.mkdtemp(prefix="ts_pyfiles_"), "terrier_spark_pkg")
+        _PKG_ZIP = shutil.make_archive(
+            base, "zip", root_dir=repo_root, base_dir="terrier_spark"
+        )
+    return _PKG_ZIP
 
 
 def run_level(corpus: str, workers: int, cores: int, repo_root: str) -> dict:
@@ -107,7 +132,10 @@ def run_level(corpus: str, workers: int, cores: int, repo_root: str) -> dict:
     s0 = _cpu_snap()
     pc0 = _percpu_busy()
     p = subprocess.run(
-        pin + [sys.executable, "-c", CHILD, str(workers), str(cores), corpus, elog],
+        pin + [
+            sys.executable, "-c", CHILD, str(workers), str(cores),
+            corpus, elog, _pkg_zip(repo_root),
+        ],
         capture_output=True, text=True, env=env, cwd=repo_root,
     )
     pc1 = _percpu_busy()
@@ -116,10 +144,13 @@ def run_level(corpus: str, workers: int, cores: int, repo_root: str) -> dict:
         raise RuntimeError(
             f"child {workers}x{cores} failed:\n{p.stderr[-3000:]}"
         )
-    wall = json.loads(
+    walls = json.loads(
         [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-    )["wall"]
-    stats = parse_log(elog)
+    )["walls"]
+    wall = min(walls)
+    best = min(range(len(walls)), key=lambda i: walls[i])
+    stats = parse_log(elog, group=f"measured{best}", detail=True)
+    stats["all_measured_walls_s"] = [round(w, 3) for w in walls]
     d = [b - a for a, b in zip(s0, s1)]
     tot = max(sum(d), 1)
     ncpu = os.cpu_count() or 1

@@ -58,9 +58,9 @@ spark.stop()
 """
 
 
-def parse_log(elog_dir: str) -> dict:
+def parse_log(elog_dir: str, group: str = "measured", detail: bool = False) -> dict:
     """Sum stage walls and executor task time for the stages of the
-    'measured' job group (the second, warm build)."""
+    given job group (a warm build)."""
     path = max(glob.glob(os.path.join(elog_dir, "*")), key=os.path.getmtime)
     if os.path.isdir(path):  # Spark 4 rolling event-log dir
         files = sorted(glob.glob(os.path.join(path, "events_*")))
@@ -84,7 +84,7 @@ def parse_log(elog_dir: str) -> dict:
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
                 props = ev.get("Properties") or {}
-                if props.get("spark.jobGroup.id") == "measured":
+                if props.get("spark.jobGroup.id") == group:
                     for si in ev.get("Stage Infos", []):
                         measured_stages.add(si["Stage ID"])
             elif e == "SparkListenerStageCompleted":
@@ -99,7 +99,7 @@ def parse_log(elog_dir: str) -> dict:
                     m.get("Executor Run Time", 0) or 0
                 )
     mids = measured_stages & set(stage_wall)
-    return {
+    out = {
         "n_measured_stages": len(mids),
         "measured_stage_wall_s": round(
             sum(stage_wall[s] for s in mids) / 1000.0, 3
@@ -108,6 +108,16 @@ def parse_log(elog_dir: str) -> dict:
             sum(stage_task_ms.get(s, 0) for s in mids) / 1000.0, 3
         ),
     }
+    if detail:
+        out["stages"] = [
+            {
+                "id": s,
+                "wall_s": round(stage_wall[s] / 1000.0, 3),
+                "task_s": round(stage_task_ms.get(s, 0) / 1000.0, 3),
+            }
+            for s in sorted(mids)
+        ]
+    return out
 
 
 def _cpu_snap() -> list[int]:
