@@ -48,12 +48,18 @@ docs = spark.read.parquet(corpus)
 # warm-up build (JIT, Arrow init) — not measured
 idx = build_index(docs, id_col="doc_id", text_col="content")
 idx.blocks.count(); idx.blocks.unpersist(); idx.lexicon.unpersist()
-spark.sparkContext.setJobGroup("measured", "measured build")
-t0 = time.monotonic()
-idx = build_index(docs, id_col="doc_id", text_col="content")
-idx.blocks.count(); idx.lexicon.count()
-wall = time.monotonic() - t0
-print(json.dumps({"wall": wall}))
+# TWO measured warm builds, reported individually: per-level noise on
+# this shared host is the dominant error term, and min() of two draws
+# is a far tighter estimator of the level's capability than one draw.
+walls = []
+for i in range(2):
+    spark.sparkContext.setJobGroup(f"measured{i}", f"measured build {i}")
+    t0 = time.monotonic()
+    idx = build_index(docs, id_col="doc_id", text_col="content")
+    idx.blocks.count(); idx.lexicon.count()
+    walls.append(time.monotonic() - t0)
+    idx.blocks.unpersist(); idx.lexicon.unpersist()
+print(json.dumps({"walls": walls}))
 spark.stop()
 """
 
@@ -175,8 +181,13 @@ def main() -> None:
         s1 = _cpu_snap()
         if p.returncode != 0:
             raise RuntimeError(f"child cores={c} failed:\n{p.stderr[-3000:]}")
-        wall = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])["wall"]
-        stats = parse_log(elog)
+        walls = json.loads(
+            [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        )["walls"]
+        wall = min(walls)
+        best = min(range(len(walls)), key=lambda i: walls[i])
+        stats = parse_log(elog, group=f"measured{best}")
+        stats["all_measured_walls_s"] = [round(w, 3) for w in walls]
         # Noise annotations: whole-host steal%, and OFF-RANGE busy% —
         # user+system on the cpus OUTSIDE the child's pinned range, as
         # a fraction of those cpus' time.  The whole child tree is
