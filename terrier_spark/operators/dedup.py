@@ -160,6 +160,13 @@ def _shingle_arrays(texts, n: int) -> list[np.ndarray]:
 # mod 2^64, so the combine is injective in the last token's hash).
 _SHINGLE_MIX = np.uint64(0x100000001B3)
 
+# Estimated-size cap for the broadcast-verify path of minhash_lsh_pairs:
+# the broadcast build side is (candidate pairs × one side's full shingle
+# arrays), collected on the driver by BroadcastExchangeExec before the
+# jaccard filter runs.  Well under Spark's 8 GB broadcast hard limit and
+# a default driver heap; past it the verify falls back to shuffle joins.
+_BROADCAST_VERIFY_MAX_BYTES = 256 << 20
+
 # The exact Python-re.ASCII \s class, spelled out so the Arrow RE2
 # pattern can't drift to unicode semantics.
 _WS_ASCII_CLASS = r"[ \t\n\x0b\f\r]+"
@@ -191,7 +198,6 @@ def _shingle_hash_batch(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarra
     raw_counts = np.diff(tl.offsets.to_numpy())
     nonempty = pc.utf8_length(flat).to_numpy() > 0
     doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), raw_counts)[nonempty]
-    tok_counts = np.bincount(doc_idx, minlength=ndocs)
     toks = flat.to_numpy(zero_copy_only=False)[nonempty]
     if len(toks) < n:
         return np.zeros(ndocs, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -338,11 +344,15 @@ def _materialize_cleanup(out: DataFrame, caches: list, name: str) -> DataFrame:
     eagerly pulling the full verified pair set onto the driver could
     OOM on duplicate-heavy corpora): the pair set now streams
     executor→disk and the returned DataFrame scans it lazily, so driver
-    memory is O(1) regardless of pair count."""
-    from terrier_spark.plans.relational import _scratch_dir  # lazy: avoids cycle
+    memory is O(1) regardless of pair count.
+
+    The scratch path is unique PER CALL: the returned DataFrame lazily
+    re-scans it, so a second invocation in the same session must not
+    overwrite the parquet backing a result the caller still holds."""
+    from terrier_spark.plans.relational import _scratch_dir_uniq  # lazy: avoids cycle
 
     spark = out.sparkSession
-    path = _scratch_dir(name)
+    path = _scratch_dir_uniq(name)
     out.write.mode("overwrite").parquet(path)
     for c in caches:
         c.unpersist()
@@ -383,10 +393,11 @@ def minhash_lsh_pairs(
     self-join's two sides share one ReusedExchange); the deduped
     candidate pairs are then BROADCAST back onto the cached hash arrays
     (two map-side joins — no shuffle of the corpus-sized table) and
-    verified with JVM array_intersect/array_union.  Pass
-    ``broadcast_candidates=False`` on a duplicate-heavy corpus whose
-    candidate set is too large to broadcast; the verify then falls back
-    to shuffle joins keyed on id.
+    verified with JVM array_intersect/array_union.  The broadcast is
+    size-gated (_BROADCAST_VERIFY_MAX_BYTES, estimated as candidates ×
+    avg shingles/doc): past the cap — or with
+    ``broadcast_candidates=False`` — the verify falls back to shuffle
+    joins keyed on id, still candidate-bounded.
 
     ``cleanup=True`` (default) materializes the verified pairs to a
     scratch parquet table and releases every intermediate cache before
@@ -416,6 +427,21 @@ def minhash_lsh_pairs(
     )
     sh1 = sh.select(F.col("doc_id").alias("id1"), F.col("shash").alias("sh1"))
     sh2 = sh.select(F.col("doc_id").alias("id2"), F.col("shash").alias("sh2"))
+    # The broadcast verify ships pairs1 = (candidate pairs × one side's
+    # FULL shingle array), and BroadcastExchangeExec collects the build
+    # side on the DRIVER first — on a duplicate-heavy corpus that is
+    # O(candidates × shingles/doc) bytes through the driver BEFORE the
+    # jaccard filter runs.  Gate it on an estimate: cand is persisted
+    # anyway (both verify joins consume it), so the count is one cheap
+    # job over the already-computed buckets, and avg shingles/doc comes
+    # off the cached hash arrays.  Over the cap → shuffle-join verify
+    # (still candidate-bounded, never all-pairs).
+    cand = cand.persist()
+    if broadcast_candidates:
+        n_cand = cand.count()
+        avg_sh = sh.agg(F.avg(F.size("shash"))).collect()[0][0] or 0.0
+        if n_cand * (avg_sh * 8 + 80) > _BROADCAST_VERIFY_MAX_BYTES:
+            broadcast_candidates = False
     if broadcast_candidates:
         # Both verify joins stay map-side over the cached hash arrays:
         # broadcast the (small, already-deduped) pair set into the first
@@ -439,7 +465,7 @@ def minhash_lsh_pairs(
     )
     if not cleanup:
         return verified
-    return _materialize_cleanup(verified, [sh], "minhash_pairs")
+    return _materialize_cleanup(verified, [sh, cand], "minhash_pairs")
 
 
 # --------------------------------------------------------------- simhash

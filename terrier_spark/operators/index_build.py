@@ -115,27 +115,41 @@ def assign_docnos(ids: DataFrame, persist: bool = True) -> tuple[DataFrame, int]
     standard scalable dense-rank.  Entirely JVM-side (no Python workers).
     Output: ((doc_id, docno), num_docs, ranged-cache-handle).
 
-    ``persist=False`` (the cache=False build path) skips the ranged-id
-    cache entirely so nothing can leak pinned into the session (VERDICT
-    r3 #1: both consumers unpersisted it only under ``if cache``).
-    Correctness without the cache rests on RangePartitioner determinism:
-    its reservoir-sample seeds are fixed per input partition index, so
-    re-evaluating the docmap plan over a deterministic source sees
-    identical range boundaries — the cache is a belt-and-braces
-    optimization, not a correctness requirement (pinned by the
-    cache=False rank-identity test in tests/test_index_build.py).
+    ``persist=False`` (the cache=False build path) keeps nothing pinned
+    in the session (VERDICT r3 #1: both consumers unpersisted the cache
+    only under ``if cache``): the ranged ids are instead SNAPSHOT to a
+    per-call scratch parquet and every downstream job reads that
+    snapshot.  The snapshot is required for correctness, not just speed:
+    Spark's RangePartitioner seeds its reservoir sample with the RDD id
+    (Partitioner.scala: seed = byteswap32(idx ^ (rdd.id << 16))), so an
+    UNCACHED re-evaluation of the ranged plan can sample different range
+    boundaries than the counts job did — per-partition offsets would
+    then overlap or gap and two docs could share a docno.  Materializing
+    one execution (cache or snapshot) is the only way the offsets and
+    the numbered partitions are guaranteed to describe the same
+    boundaries (pinned by the cache=False rank-identity test in
+    tests/test_index_build.py).
     """
     from pyspark.sql.window import Window
 
     base = ids.select("doc_id")
     parts = _data_parts(base)
-    # Persist so the partition ids seen by the count pass and the final
-    # plan are identical (range boundaries are sampled once).
+    # Materialize so the partition ids seen by the count pass and the
+    # final plan are identical (range boundaries are sampled once).
     ranged = base.repartitionByRange(parts, "doc_id").withColumn(
         "pidx", F.spark_partition_id()
     )
     if persist:
         ranged = ranged.persist()
+    else:
+        # the 10^12-doc shape from the NOTE below: write out, read back
+        from terrier_spark.plans.relational import _scratch_dir_uniq
+
+        snap = _scratch_dir_uniq("docno_ids")
+        schema = ranged.schema
+        ranged.write.mode("overwrite").parquet(snap)
+        # explicit schema: robust to an empty corpus (no part files)
+        ranged = ids.sparkSession.read.schema(schema).parquet(snap)
     counts = ranged.groupBy("pidx").agg(F.count("*").alias("cnt")).collect()
     offsets: dict[int, int] = {}
     acc = 0

