@@ -84,6 +84,11 @@ spark = (
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Locality-wait never fires in single-executor local mode but delays
+    # every task wave up to 3s/level on a multi-executor cluster; with
+    # data on one shared local disk locality is meaningless here, so the
+    # wait is pure scheduler idle time charged to the WIDE level only.
+    .config("spark.locality.wait", "0")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")

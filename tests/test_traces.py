@@ -34,7 +34,7 @@ TRACES = [
     ("functions.test", 110, 0),        # 122 observed
     ("functions_trig.test", 2, 2),     # 2 / 2 observed (1 documented skip)
     ("sqlite-select1.test", 130, 125), # 138 / 132 observed
-    ("sqlite-select2.test", 125, 0),   # 134 observed (orders by expressions)
+    ("sqlite-select2.test", 125, 0),   # 134 observed (trace has no ORDER BY)
     ("sqlite-select3.test", 350, 160), # 370 / 168 observed
     ("insert.test", 24, 0),            # 26 observed
     ("update.test", 17, 0),            # 19 observed
