@@ -822,7 +822,16 @@ def _build_index_aligned(
     # cf sum; it is now built lazily from the cached blocks by the
     # first query that touches it (a per-query-terms partial agg).
     if cache:
-        blocks = blocks.persist()
+        # Cluster each task's output by term before caching: Spark's
+        # in-memory columnar cache keeps per-batch min/max stats and
+        # prunes batches against scan filters, so a `term IN (...)`
+        # block scan skips whole batches instead of materializing their
+        # blob columns.  At bench scale each partition holds ONE cache
+        # batch (<10k rows) so this is measured as a wash; it exists
+        # for the many-batches-per-partition shape a real corpus has.
+        # sortWithinPartitions is narrow — no shuffle, partition
+        # membership (and doc-whole-per-partition) unchanged.
+        blocks = blocks.sortWithinPartitions("term", "bucket").persist()
     stats_row = blocks.agg(F.count("*"), F.sum("sum_tf")).collect()[0]
     num_tokens = int(stats_row[1] or 0)
     avgdl = num_tokens / num_docs if num_docs else 0.0
@@ -841,6 +850,13 @@ def _build_index_aligned(
     docmap = ranged.select("doc_id", "pidx").mapInArrow(
         _docmap_kernel(offsets, "doc_id"), f"doc_id {id_type}, docno long"
     )
+    if cache:
+        # Without this every scorer's docmap join re-runs the whole
+        # docno pipeline (corpus scan → psalt shuffle → kernel) as its
+        # probe side — measured ~1.5 s of the ~2 s warm single-query
+        # latency.  Lazy persist: the warm-up query pays the one-time
+        # materialization, not the build (docno+id only, ~70 B/doc).
+        docmap = docmap.persist()
     kernel_out = tokenize_postings(docs, id_col, text_col, stem=stem)  # lazy, tests only
     doclens = kernel_out.filter(F.col("term").isNull()).select(
         "doc_id", F.col("dl").alias("doclen")

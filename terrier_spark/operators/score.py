@@ -309,41 +309,18 @@ _BATCH_SCHEMA = StructType(
 )
 
 
-def bm25_topk_batch(
+def _bucket_scores(
     index: InvertedIndex,
     queries: dict[str, str],
-    k: int = 10,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-) -> DataFrame:
-    """Whole-query-set BM25 evaluation in ONE pass over the index.
-
-    The reference harness executes entire query sets per run
-    (/root/reference/test/test_util/tpch/workload.cpp:88-116,
-    benchmark/runner/tpch_runner.cpp:85-100); the single-query paths
-    above cost 1-2 driver round-trips each, i.e. Q chained jobs for Q
-    queries.  This amortizes everything shared:
-
-    - ONE lexicon lookup for the union of all query terms (one collect,
-      not Q);
-    - ONE filtered scan of the block table (`term IN all_terms` pushed
-      to the parquet/cache scan);
-    - each candidate block decoded and scored ONCE even when several
-      queries share its term — BM25 partials are query-independent
-      given the global idf, so per-query work inside the Arrow kernel
-      is just a masked per-doc sum;
-    - per-query top-k extracted with a qid-partitioned window over the
-      (≤ buckets × Q × k)-row bucket-local union, then ONE broadcast
-      join against the docmap for all queries together.
-
-    Returns (qid, doc_id, docno, score, rank) with rank 1..k per qid,
-    ranked by (score desc, docno asc) — rank-identical per query to
-    bm25_topk_exploded / the oracle.  Queries with no live terms
-    contribute zero rows.  Disjunctive (OR) semantics, unpruned: the
-    block-max threshold is per-query state that would break the
-    shared-decode amortization; at Q queries the decode sharing already
-    exceeds what single-query WAND saves.
-    """
+    k: int,
+    k1: float,
+    b: float,
+):
+    """Shared front half of the batch/single-query scorers: one filtered
+    block scan + one bucket-grouped Arrow kernel producing bucket-local
+    per-query candidates.  Returns (local, qid_no, empty) where local is
+    the (qid, docno, score) candidate DataFrame (≤ k rows per qid per
+    bucket), or (None, qid_no, empty) when no query has a live term."""
     spark = index.blocks.sparkSession
     qids = sorted(queries)
     qid_no = {q: i for i, q in enumerate(qids)}
@@ -357,10 +334,10 @@ def bm25_topk_batch(
         [], f"qid string, doc_id {id_type}, docno long, score double, rank long"
     )
     if not all_terms:
-        return empty
+        return None, qid_no, empty
     idf_map = _idf_map(index, all_terms)  # driver lexicon cache: warm = 0 jobs
     if not idf_map:
-        return empty
+        return None, qid_no, empty
     live_qterms = {q: [t for t in ts if t in idf_map] for q, ts in qterms.items()}
     avgdl, knum = index.avgdl, k
 
@@ -428,6 +405,48 @@ def bm25_topk_batch(
 
     cand = index.blocks.filter(F.col("term").isin(all_terms))
     local = cand.groupBy("bucket").applyInPandas(score_bucket, schema=_BATCH_SCHEMA)
+    return local, qid_no, empty
+
+
+def bm25_topk_batch(
+    index: InvertedIndex,
+    queries: dict[str, str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Whole-query-set BM25 evaluation in ONE pass over the index.
+
+    The reference harness executes entire query sets per run
+    (/root/reference/test/test_util/tpch/workload.cpp:88-116,
+    benchmark/runner/tpch_runner.cpp:85-100); the single-query paths
+    above cost 1-2 driver round-trips each, i.e. Q chained jobs for Q
+    queries.  This amortizes everything shared:
+
+    - ONE lexicon lookup for the union of all query terms (one collect,
+      not Q);
+    - ONE filtered scan of the block table (`term IN all_terms` pushed
+      to the parquet/cache scan);
+    - each candidate block decoded and scored ONCE even when several
+      queries share its term — BM25 partials are query-independent
+      given the global idf, so per-query work inside the Arrow kernel
+      is just a masked per-doc sum;
+    - per-query top-k extracted with a qid-partitioned window over the
+      (≤ buckets × Q × k)-row bucket-local union, then ONE broadcast
+      join against the docmap for all queries together.
+
+    Returns (qid, doc_id, docno, score, rank) with rank 1..k per qid,
+    ranked by (score desc, docno asc) — rank-identical per query to
+    bm25_topk_exploded / the oracle.  Queries with no live terms
+    contribute zero rows.  Disjunctive (OR) semantics, unpruned: the
+    block-max threshold is per-query state that would break the
+    shared-decode amortization; at Q queries the decode sharing already
+    exceeds what single-query WAND saves.
+    """
+    spark = index.blocks.sparkSession
+    local, qid_no, empty = _bucket_scores(index, queries, k, k1, b)
+    if local is None:
+        return empty
 
     from pyspark.sql.window import Window
 
@@ -455,16 +474,61 @@ def bm25_topk(
     index: InvertedIndex, query: str, k: int = 10,
     k1: float = BM25_K1, b: float = BM25_B,
 ) -> DataFrame:
-    """Lowest-latency single-query top-k: the batch kernel with a
-    one-query set (VERDICT r3 item 7).  With the driver lexicon cache
-    hot this is ONE Spark action — filtered block scan → bucket kernel
-    → qid window → broadcast docmap join — with no per-query lexicon
-    job and no separate threshold pass.  Rank-identical to
-    bm25_topk_exploded / the oracle (pinned in tests/test_score.py).
-    Returns (doc_id, docno, score) ordered by (score desc, docno asc)."""
-    out = bm25_topk_batch(index, {"q": query}, k, k1=k1, b=b)
-    return out.select("doc_id", "docno", "score").orderBy(
-        F.desc("score"), F.asc("docno")
+    """Lowest-latency single-query top-k (VERDICT r3 item 7): the batch
+    bucket kernel with a one-query set, finished EAGERLY.
+
+    The lazy chain cost 5-6 jobs per warm query: the qid window and the
+    broadcast(top) subquery each added an AQE stage barrier, and the
+    broadcast side re-executed the scan→kernel chain instead of reusing
+    its stages.  Here the scoring job runs AT CALL TIME as ONE action —
+    filtered block scan → bucket kernel → TakeOrderedAndProject
+    (per-partition heaps merged at the driver, no exchange) — and the
+    returned DataFrame only joins the collected k rows back onto the
+    (cached) docmap, so collecting it is one cheap cache-scan job and
+    re-collecting never re-scores.  With the driver lexicon cache hot
+    there is no per-query lexicon job and no separate threshold pass.
+    Rank-identical to bm25_topk_exploded / the oracle (pinned in
+    tests/test_bm25.py).  Returns (doc_id, docno, score) ordered by
+    (score desc, docno asc), as a local relation (collecting it costs
+    no further jobs).
+
+    AQE is switched off around the two actions: adaptive execution
+    materializes every query stage as its own job with a driver
+    re-planning barrier, which measured as 6 driver round-trips per
+    warm query on plans whose shapes are fixed and tiny (k rows, one
+    small shuffle) — batch/analytic paths keep AQE, where it earns its
+    barriers."""
+    spark = index.blocks.sparkSession
+    local, _, _ = _bucket_scores(index, {"q": query}, k, k1, b)
+    id_type = index.docmap.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_type}, docno long, score double"
+    if local is None:
+        return spark.createDataFrame([], schema)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rows = (
+            local.orderBy(F.desc("score"), F.asc("docno")).limit(k)
+            .select("docno", "score")
+            .collect()
+        )
+        if not rows:
+            return spark.createDataFrame([], schema)
+        docnos = [int(r["docno"]) for r in rows]
+        id_of = {
+            r["docno"]: r["doc_id"]
+            for r in index.docmap.filter(F.col("docno").isin(docnos))
+            .select("doc_id", "docno")
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return spark.createDataFrame(
+        [
+            (id_of[int(r["docno"])], int(r["docno"]), float(r["score"]))
+            for r in rows
+        ],
+        schema,
     )
 
 
