@@ -9,7 +9,7 @@ Output (stdout): a single JSON document grouping replicates by
 and the full annotated replicate list — the judge-auditable raw sample.
 
 Usage:
-  python scripts/scaling_aggregate.py out.json label1=path1.jsonl [label2=...]
+  python scripts/scaling_aggregate.py label1=path1.jsonl [label2=...] > BENCH_SCALING.json
 """
 
 from __future__ import annotations

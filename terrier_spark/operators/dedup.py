@@ -160,11 +160,13 @@ def _shingle_arrays(texts, n: int) -> list[np.ndarray]:
 # mod 2^64, so the combine is injective in the last token's hash).
 _SHINGLE_MIX = np.uint64(0x100000001B3)
 
-# Estimated-size cap for the broadcast-verify path of minhash_lsh_pairs:
-# the broadcast build side is (candidate pairs × one side's full shingle
+# Size cap for the broadcast-verify path of minhash_lsh_pairs: the
+# broadcast build side is (candidate pairs × one side's full shingle
 # arrays), collected on the driver by BroadcastExchangeExec before the
-# jaccard filter runs.  Well under Spark's 8 GB broadcast hard limit and
-# a default driver heap; past it the verify falls back to shuffle joins.
+# jaccard filter runs.  Compared against the EXACT payload (Σ candidate
+# |sh(id1)| + per-row overhead).  Well under Spark's 8 GB broadcast hard
+# limit and a default driver heap; past it the verify falls back to
+# shuffle joins.
 _BROADCAST_VERIFY_MAX_BYTES = 256 << 20
 
 # The exact Python-re.ASCII \s class, spelled out so the Arrow RE2
@@ -394,10 +396,10 @@ def minhash_lsh_pairs(
     candidate pairs are then BROADCAST back onto the cached hash arrays
     (two map-side joins — no shuffle of the corpus-sized table) and
     verified with JVM array_intersect/array_union.  The broadcast is
-    size-gated (_BROADCAST_VERIFY_MAX_BYTES, estimated as candidates ×
-    avg shingles/doc): past the cap — or with
-    ``broadcast_candidates=False`` — the verify falls back to shuffle
-    joins keyed on id, still candidate-bounded.
+    size-gated (_BROADCAST_VERIFY_MAX_BYTES, computed from the exact
+    per-candidate shingle-array sizes in one job): past the cap — or
+    with ``broadcast_candidates=False`` — the verify falls back to
+    shuffle joins keyed on id, still candidate-bounded.
 
     ``cleanup=True`` (default) materializes the verified pairs to a
     scratch parquet table and releases every intermediate cache before
@@ -431,16 +433,28 @@ def minhash_lsh_pairs(
     # FULL shingle array), and BroadcastExchangeExec collects the build
     # side on the DRIVER first — on a duplicate-heavy corpus that is
     # O(candidates × shingles/doc) bytes through the driver BEFORE the
-    # jaccard filter runs.  Gate it on an estimate: cand is persisted
-    # anyway (both verify joins consume it), so the count is one cheap
-    # job over the already-computed buckets, and avg shingles/doc comes
-    # off the cached hash arrays.  Over the cap → shuffle-join verify
-    # (still candidate-bounded, never all-pairs).
+    # jaccard filter runs.  Gate it on the EXACT build-side payload:
+    # pairs1 carries |sh(id1)| hashes per pair, so Σ|sh(id1)| over the
+    # candidate pairs (ONE job — cand is persisted for the verify
+    # anyway, and the join reuses the cached hash arrays) is the true
+    # array byte count.  A corpus-wide average would be biased low:
+    # candidates skew toward long/duplicate-heavy docs, exactly the
+    # ones whose arrays blow up the broadcast.  Over the cap →
+    # shuffle-join verify (still candidate-bounded, never all-pairs).
     cand = cand.persist()
     if broadcast_candidates:
-        n_cand = cand.count()
-        avg_sh = sh.agg(F.avg(F.size("shash"))).collect()[0][0] or 0.0
-        if n_cand * (avg_sh * 8 + 80) > _BROADCAST_VERIFY_MAX_BYTES:
+        row = (
+            cand.join(
+                sh.select(
+                    F.col("doc_id").alias("id1"), F.size("shash").alias("nsh1")
+                ),
+                "id1",
+            )
+            .agg(F.count("*"), F.sum("nsh1"))
+            .collect()[0]
+        )
+        n_cand, sum_sh1 = int(row[0] or 0), int(row[1] or 0)
+        if sum_sh1 * 8 + n_cand * 80 > _BROADCAST_VERIFY_MAX_BYTES:
             broadcast_candidates = False
     if broadcast_candidates:
         # Both verify joins stay map-side over the cached hash arrays:

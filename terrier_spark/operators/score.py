@@ -31,6 +31,7 @@ Scoring formula pinned with the oracle:
 from __future__ import annotations
 
 import math
+import threading
 
 import numpy as np
 import pandas as pd
@@ -69,6 +70,11 @@ def _query_terms(query: str, stem: bool = False) -> list[str]:
 # fall back to the per-query filtered collect — the pushdown term
 # filter keeps that collect O(query terms).
 LEX_DRIVER_CACHE_MAX_TERMS = 500_000
+
+# Serializes the AQE on/off toggle in bm25_topk (session-global conf):
+# without it two concurrent calls can interleave save/restore and leave
+# adaptive execution permanently disabled for the whole session.
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 
 def _lexicon_dfs(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
@@ -497,32 +503,39 @@ def bm25_topk(
     re-planning barrier, which measured as 6 driver round-trips per
     warm query on plans whose shapes are fixed and tiny (k rows, one
     small shuffle) — batch/analytic paths keep AQE, where it earns its
-    barriers."""
+    barriers.  The toggle is session-global conf, so it is held under
+    a process-wide lock: concurrent bm25_topk calls serialize their
+    (short) driver sections instead of racing the save/restore into a
+    permanently-AQE-off session.  An unrelated query PLANNED by another
+    thread inside the window runs correct-but-non-adaptive — a perf
+    wobble, never a wrong result."""
     spark = index.blocks.sparkSession
     local, _, _ = _bucket_scores(index, {"q": query}, k, k1, b)
     id_type = index.docmap.schema["doc_id"].dataType.simpleString()
     schema = f"doc_id {id_type}, docno long, score double"
     if local is None:
         return spark.createDataFrame([], schema)
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        rows = (
-            local.orderBy(F.desc("score"), F.asc("docno")).limit(k)
-            .select("docno", "score")
-            .collect()
-        )
-        if not rows:
-            return spark.createDataFrame([], schema)
-        docnos = [int(r["docno"]) for r in rows]
-        id_of = {
-            r["docno"]: r["doc_id"]
-            for r in index.docmap.filter(F.col("docno").isin(docnos))
-            .select("doc_id", "docno")
-            .collect()
-        }
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _AQE_TOGGLE_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            rows = (
+                local.orderBy(F.desc("score"), F.asc("docno")).limit(k)
+                .select("docno", "score")
+                .collect()
+            )
+            if rows:
+                docnos = [int(r["docno"]) for r in rows]
+                id_of = {
+                    r["docno"]: r["doc_id"]
+                    for r in index.docmap.filter(F.col("docno").isin(docnos))
+                    .select("doc_id", "docno")
+                    .collect()
+                }
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+    if not rows:
+        return spark.createDataFrame([], schema)
     return spark.createDataFrame(
         [
             (id_of[int(r["docno"])], int(r["docno"]), float(r["score"]))

@@ -25,6 +25,8 @@ skew/coalescing — matching SURVEY.md §4.2's "zero custom rules" stance.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -71,7 +73,7 @@ def _scratch_dir(name: str) -> str:
     return os.path.join(base, name)
 
 
-_SCRATCH_SEQ = __import__("itertools").count()
+_SCRATCH_SEQ = itertools.count()
 
 
 def _scratch_dir_uniq(name: str) -> str:

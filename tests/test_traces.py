@@ -28,7 +28,11 @@ from trace_replay import TRACE_DIR, replay_trace
 # (dozens of cases) does.
 TRACES = [
     ("aggregations.test", 20, 0),      # 22 observed
-    ("select.test", 135, 8),           # 144 / 9 observed
+    ("select.test", 135, 0),           # 144 observed; its ORDER BY queries
+                                       # are SELECT * over joins — duplicate
+                                       # output names make key binding
+                                       # ambiguous, so they are conservatively
+                                       # order-unchecked
     ("orderby.test", 12, 12),          # 13 / 13 observed
     ("nested-query.test", 19, 10),     # 21 / 12 observed
     ("functions.test", 110, 0),        # 122 observed
@@ -77,24 +81,53 @@ def test_order_spec_and_sortedness():
 
     cols = ["a", "b"]
     assert _order_spec("SELECT a,b FROM t ORDER BY a DESC, 2", cols) == [
-        (0, True),
-        (1, False),
+        (0, True, None),
+        (1, False, None),
     ]
-    assert _order_spec("SELECT a,b FROM t ORDER BY t.a LIMIT 3", cols) == [(0, False)]
+    assert _order_spec("SELECT a,b FROM t ORDER BY t.a LIMIT 3", cols) == [
+        (0, False, None)
+    ]
     assert _order_spec("SELECT a,b FROM t", cols) is None
     # subquery ORDER BY does not constrain the outer result
     assert _order_spec("SELECT a,b FROM (SELECT * FROM t ORDER BY a) x", cols) is None
     # expression keys can't be checked from the output columns
     assert _order_spec("SELECT a,b FROM t ORDER BY a+b", cols) is None
+    # explicit NULLS hints are captured per key
+    assert _order_spec("SELECT a,b FROM t ORDER BY a NULLS LAST, b DESC", cols) == [
+        (0, False, "last"),
+        (1, True, None),
+    ]
+    # duplicate output names make the binding ambiguous — unresolvable
+    assert _order_spec("SELECT t.a, s.a FROM t, s ORDER BY s.a", ["a", "a"]) is None
+    # quoted literals can't corrupt the paren/keyword scan: the ')' and
+    # the 'order by' text below are inside strings
+    assert _order_spec(
+        "SELECT a, ') order by b' AS p FROM (SELECT a FROM t ORDER BY a) x",
+        ["a", "p"],
+    ) is None
+    assert _order_spec(
+        "SELECT a FROM t WHERE a <> '(' ORDER BY a", ["a"]
+    ) == [(0, False, None)]
     df = pd.DataFrame({"a": [3, 2, 1], "b": [1, 2, 3]})
-    assert _is_ordered(df, [(0, True)], True)
-    assert not _is_ordered(df, [(0, False)], True)
-    assert not _is_ordered(df, [(0, False)], False)
+    assert _is_ordered(df, [(0, True, None)], True)
+    assert not _is_ordered(df, [(0, False, None)], True)
+    assert not _is_ordered(df, [(0, False, None)], False)
     # tie on the first key resolved by the second
     dft = pd.DataFrame({"a": [1, 1, 2], "b": [1, 2, 0]})
-    assert _is_ordered(dft, [(0, False), (1, False)], True)
-    assert not _is_ordered(dft, [(0, False), (1, True)], True)
+    assert _is_ordered(dft, [(0, False, None), (1, False, None)], True)
+    assert not _is_ordered(dft, [(0, False, None), (1, True, None)], True)
     # NULL leading is sorted only under the nulls-smallest convention
     dfn = pd.DataFrame({"a": [None, 1.0, 2.0]})
-    assert _is_ordered(dfn, [(0, False)], True)
-    assert not _is_ordered(dfn, [(0, False)], False)
+    assert _is_ordered(dfn, [(0, False, None)], True)
+    assert not _is_ordered(dfn, [(0, False, None)], False)
+    # an explicit hint overrides BOTH convention candidates
+    assert not _is_ordered(dfn, [(0, False, "last")], True)
+    assert not _is_ordered(dfn, [(0, False, "last")], False)
+    dfl = pd.DataFrame({"a": [1.0, 2.0, None]})
+    assert _is_ordered(dfl, [(0, False, "last")], True)
+    assert not _is_ordered(dfl, [(0, False, "first")], True)
+    # Decimal columns compare numerically, not lexically
+    from decimal import Decimal
+
+    dfd = pd.DataFrame({"a": [Decimal("9.5"), Decimal("10.5")]})
+    assert _is_ordered(dfd, [(0, False, None)], True)

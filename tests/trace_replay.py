@@ -221,6 +221,34 @@ def _canon_df(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _blank_strings(sql: str) -> str:
+    """Replace the CONTENTS of single-quoted SQL literals with spaces
+    (same length, quotes kept) so paren-depth tracking and ORDER BY /
+    comma scanning can't be corrupted by quoted parens, commas, or the
+    text 'order by' inside a literal.  Handles '' escapes.  Positions
+    are preserved, so indices computed on the blanked text are valid in
+    the original."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        out.append(ch)
+        i += 1
+        if ch == "'":
+            while i < n:
+                if sql[i] == "'" and i + 1 < n and sql[i + 1] == "'":
+                    out.append("  ")
+                    i += 2
+                    continue
+                if sql[i] == "'":
+                    out.append("'")
+                    i += 1
+                    break
+                out.append(" ")
+                i += 1
+    return "".join(out)
+
+
 def _split_depth0(s: str, sep: str = ",") -> list[str]:
     parts: list[str] = []
     depth, cur = 0, []
@@ -238,12 +266,19 @@ def _split_depth0(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
-def _order_spec(sql: str, columns: list[str]) -> list[tuple[int, bool]] | None:
+def _order_spec(
+    sql: str, columns: list[str]
+) -> list[tuple[int, bool, str | None]] | None:
     """Resolve the OUTERMOST (paren-depth-0) ORDER BY of ``sql`` into
-    [(output_column_index, descending)], or None when the query has no
-    top-level ORDER BY or a key can't be mapped to an output column
-    (expression keys, unprojected columns) — those fall back to the
-    multiset-only comparison and are counted as order-unchecked."""
+    [(output_column_index, descending, nulls_hint)] where nulls_hint is
+    'first' / 'last' for an explicit NULLS clause else None, or None
+    when the query has no top-level ORDER BY or a key can't be mapped
+    UNAMBIGUOUSLY to an output column (expression keys, unprojected
+    columns, duplicate output names) — those fall back to the
+    multiset-only comparison and are counted as order-unchecked.
+    Scanning runs over a literal-blanked copy so quoted parens, commas,
+    or 'order by' text can't corrupt the parse."""
+    sql = _blank_strings(sql)
     up = sql.upper()
     depth, pos = 0, -1
     for i, ch in enumerate(sql):
@@ -275,10 +310,14 @@ def _order_spec(sql: str, columns: list[str]) -> list[tuple[int, bool]] | None:
             body = body[:j]
             break
     lower_cols = [c.lower() for c in columns]
-    keys: list[tuple[int, bool]] = []
+    keys: list[tuple[int, bool, str | None]] = []
     for item in _split_depth0(body):
         it = item.strip().rstrip(";").strip()
-        it = re.sub(r"\bNULLS\s+(FIRST|LAST)\s*$", "", it, flags=re.I).strip()
+        nulls = None
+        m = re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", it, flags=re.I)
+        if m:
+            nulls = m.group(1).lower()
+            it = it[: m.start()].strip()
         desc = False
         m = re.match(r"(.*?)\s+(ASC|DESC)\s*$", it, flags=re.I)
         if m:
@@ -291,10 +330,12 @@ def _order_spec(sql: str, columns: list[str]) -> list[tuple[int, bool]] | None:
             if not re.fullmatch(r'[\w."]+', it):
                 return None  # expression key — can't check from output
             name = it.split(".")[-1].strip('"').lower()
-            if name not in lower_cols:
+            if lower_cols.count(name) != 1:
+                # absent, or duplicated output name (e.g. t.a and s.a
+                # both projected as 'a') — binding would be a guess
                 return None
             idx = lower_cols.index(name)
-        keys.append((idx, desc))
+        keys.append((idx, desc, nulls))
     return keys or None
 
 
@@ -309,6 +350,7 @@ def _null_like(v) -> bool:
 
 def _cmp_vals(a, b) -> int:
     import datetime
+    import decimal
 
     import numpy as np
 
@@ -316,6 +358,12 @@ def _cmp_vals(a, b) -> int:
         a = a.item()
     if isinstance(b, (np.floating, np.integer, np.bool_)):
         b = b.item()
+    # DECIMAL columns come back as decimal.Decimal (Spark toPandas and
+    # high-precision DuckDB) — numeric, never string-compared
+    if isinstance(a, decimal.Decimal):
+        a = float(a)
+    if isinstance(b, decimal.Decimal):
+        b = float(b)
     if isinstance(a, bool) and isinstance(b, bool):
         a, b = int(a), int(b)
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
@@ -329,24 +377,37 @@ def _cmp_vals(a, b) -> int:
     return (a > b) - (a < b)
 
 
-def _is_ordered(df: pd.DataFrame, keys: list[tuple[int, bool]], nulls_small: bool) -> bool:
-    """Is the row sequence sorted per ``keys``, treating NULL as the
-    smallest (nulls_small=True) or largest value?  Spark's default is
-    NULL-smallest (ASC→first, DESC→last), Postgres/DuckDB's is
-    NULL-largest — each engine is checked under either convention, so a
-    NULL-default dialect difference never false-fails while an unsorted
-    result always does."""
+def _is_ordered(
+    df: pd.DataFrame,
+    keys: list[tuple[int, bool, str | None]],
+    nulls_small: bool,
+) -> bool:
+    """Is the row sequence sorted per ``keys``?  NULL ordering: a key
+    with an explicit NULLS FIRST/LAST hint is checked against exactly
+    that placement; unhinted keys use the engine-default convention
+    candidate ``nulls_small`` (NULL as smallest value — Spark's default
+    — or largest — Postgres/DuckDB's), and each engine is checked under
+    either candidate, so a NULL-default dialect difference never
+    false-fails while an unsorted result always does."""
     rows = list(df.itertuples(index=False, name=None))
     for r1, r2 in zip(rows, rows[1:]):
-        for idx, desc in keys:
+        for idx, desc, nulls in keys:
+            # output-position hint → value-semantics "null is smallest":
+            # NULLS FIRST in ASC = smallest; NULLS FIRST in DESC = largest
+            if nulls == "first":
+                null_small = not desc
+            elif nulls == "last":
+                null_small = desc
+            else:
+                null_small = nulls_small
             a, b = r1[idx], r2[idx]
             an, bn = _null_like(a), _null_like(b)
             if an and bn:
                 c = 0
             elif an:
-                c = -1 if nulls_small else 1
+                c = -1 if null_small else 1
             elif bn:
-                c = 1 if nulls_small else -1
+                c = 1 if null_small else -1
             else:
                 c = _cmp_vals(a, b)
             if desc:
