@@ -167,3 +167,78 @@ def test_vectorized_shingle_hashes_match_string_shingles():
             hi, hu = len(hsets[i] & hsets[j]), len(hsets[i] | hsets[j])
             si, su = len(ssets[i] & ssets[j]), len(ssets[i] | ssets[j])
             assert (hi, hu) == (si, su), (i, j)
+
+
+def test_fused_kernel_matches_two_pass_band_rows(spark, docs):
+    """shingle_band_df (one Arrow pass) must emit exactly the shingle
+    hashes of shingle_hash_df AND the band hashes of
+    _band_rows_from_hashes — the fused kernel is a fusion, not a
+    reimplementation (both call _band_hash_matrix on the same arrays)."""
+    n, num_perm, bands, seed = 2, 128, 32, 42
+    fused = dedup.shingle_band_df(docs, n, num_perm, bands, seed)
+    fused_rows = {r["doc_id"]: (tuple(r["shash"]), tuple(r["bh"])) for r in fused.collect()}
+
+    sh = dedup.shingle_hash_df(docs, n)
+    two_pass_sh = {r["doc_id"]: tuple(r["shash"]) for r in sh.collect()}
+    band = dedup._band_rows_from_hashes(sh, num_perm, bands, seed)
+    two_pass_bh: dict = {}
+    for r in band.collect():
+        two_pass_bh.setdefault(r["doc_id"], [0] * bands)[r["band"]] = r["bhash"]
+
+    assert set(fused_rows) == set(two_pass_sh)
+    for did, (shash, bh) in fused_rows.items():
+        assert shash == two_pass_sh[did], did
+        if shash:
+            assert list(bh) == two_pass_bh[did], did
+        else:
+            # zero-shingle docs carry an empty band array (the two-pass
+            # kernel emits no band rows for them)
+            assert bh == () and did not in two_pass_bh
+
+
+def test_band_hash_matrix_chunking_is_value_invariant():
+    """The chunk cap is a memory-locality knob, never a semantic one:
+    per-doc band hashes must be identical whether a doc set is
+    processed in one chunk or split across many (including docs larger
+    than the cap, which get a private chunk)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arrs = [
+        rng.integers(-(2**62), 2**62, size=s, dtype=np.int64)
+        for s in [3, 11_000, 1, 500, 9_999, 42]  # one doc above the 10k cap
+    ]
+    counts = np.array([len(a) for a in arrs], dtype=np.int64)
+    a_mul, b_add = dedup._band_perm_consts(64, 42)
+    got = dedup._band_hash_matrix(arrs, counts, 16, a_mul, b_add)
+    # reference: no chunking at all (single big matrix)
+    h = np.concatenate(arrs).view(np.uint64)
+    m = h[:, None] * a_mul[None, :] + b_add[None, :]
+    offs = np.r_[0, np.cumsum(counts[:-1])]
+    sig = np.minimum.reduceat(m, offs, axis=0)
+    g = sig.reshape(len(arrs), 16, 4)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    bh = g[:, :, 0].copy()
+    for r in range(1, 4):
+        bh = bh * mix + g[:, :, r]
+    assert np.array_equal(got, bh.view(np.int64))
+
+
+def test_fanout_parts_scales_with_bytes_not_cores(spark, docs):
+    """Partition fan-out must derive from input size: a kilobyte-scale
+    corpus stays at a handful of tasks (not one per core), and the
+    count is monotone in the size estimate with a hard floor of 1."""
+    parts = dedup._fanout_parts(docs.select("doc_id", "text"))
+    assert 1 <= parts < spark.sparkContext.defaultParallelism
+    # the math itself: 4 MB min-task, 64 MB max-task, core ceiling
+    cores = spark.sparkContext.defaultParallelism
+    for est, expect in [
+        (1, 1),
+        (4 << 20, 1),
+        (40 << 20, min(10, cores)),           # 10 x 4 MB tasks, core-capped
+        (cores * (4 << 20) * 2, cores),       # lo exceeds cores -> cap
+        ((64 << 20) * cores * 3, cores * 3),  # big data: 64 MB/task wins
+    ]:
+        lo = -(-est // dedup._FANOUT_MIN_TASK_BYTES)
+        hi = max(cores, -(-est // dedup._FANOUT_MAX_TASK_BYTES))
+        assert max(1, min(lo, hi)) == expect, est
