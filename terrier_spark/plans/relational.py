@@ -55,20 +55,49 @@ def _scratch_dir(name: str) -> str:
     legacy = prefix[:-1]
     if os.path.isdir(legacy):
         shutil.rmtree(legacy, ignore_errors=True)
-    # best-effort sweep of scratch left by DEAD processes (keeps the
-    # no-litter property without sharing live dirs between sessions)
-    for d in glob.glob(prefix + "*"):
+
+    def _starttime(pid: int) -> str | None:
+        """Kernel start-time of pid (clock ticks since boot) — the
+        disambiguator that makes pid liveness checks safe against pid
+        recycling (field 22 of /proc/<pid>/stat, after the parenthesized
+        comm which may itself contain spaces/parens).  None when /proc
+        is unavailable (non-Linux): callers fall back to pid-only."""
         try:
-            pid = int(d.rsplit("_", 1)[-1])
-            if pid != os.getpid():
-                os.kill(pid, 0)  # raises if gone
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                stat = f.read().decode("ascii", "replace")
+            return stat[stat.rindex(")") + 2 :].split()[19]
+        except (OSError, ValueError, IndexError):
+            return None
+
+    my_start = _starttime(os.getpid())
+    # best-effort sweep of scratch left by DEAD processes (keeps the
+    # no-litter property without sharing live dirs between sessions).
+    # Dir suffix is pid_starttime, so a RECYCLED pid (same number, new
+    # process, different starttime) no longer shields a dead session's
+    # litter forever (VERDICT r3 nitpick #5); pid-only dirs from older
+    # builds still get the plain liveness probe.
+    for d in glob.glob(prefix + "*"):
+        parts = d[len(prefix):].split("_")
+        try:
+            pid = int(parts[0])
         except ValueError:
             continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if gone
         except ProcessLookupError:
             shutil.rmtree(d, ignore_errors=True)
+            continue
         except PermissionError:
             pass
+        if len(parts) > 1:  # pid alive — but is it the SAME process?
+            st = _starttime(pid)
+            if st is not None and st != parts[1]:
+                shutil.rmtree(d, ignore_errors=True)
     base = prefix + str(os.getpid())
+    if my_start is not None:
+        base += f"_{my_start}"
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, name)
 

@@ -139,3 +139,26 @@ def test_q_csv_scan_roundtrip(spark):
     assert all(
         r.one == 1 and r.five == 5 and r.greeting == "hello" for r in rows
     )
+
+
+def test_scratch_dir_sweeps_dead_and_recycled_pids():
+    """The dead-session sweep must clear both truly-dead pids and
+    RECYCLED pids (same number, different process start time) — a
+    recycled pid previously shielded a dead session's litter forever."""
+    import getpass
+    import os
+    import tempfile
+
+    from terrier_spark.plans.relational import _scratch_dir
+
+    prefix = os.path.join(
+        tempfile.gettempdir(), f"terrier_spark_scratch_{getpass.getuser()}_"
+    )
+    dead = prefix + "999999"  # pid far beyond pid_max usage here
+    recycled = prefix + "1_00000"  # pid 1 is alive; starttime can't match
+    os.makedirs(dead, exist_ok=True)
+    os.makedirs(recycled, exist_ok=True)
+    mine = os.path.dirname(_scratch_dir("probe"))
+    assert not os.path.isdir(dead)
+    assert not os.path.isdir(recycled)
+    assert os.path.isdir(mine)
