@@ -86,15 +86,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ir_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term document frequency + collection frequency (exact ints —
-    the reference's ANALYZE statistics, §2.9)."""
-    d = _docs(spark, sf_dir)
-    pairs = explode_terms(d, text_col="text", id_col="doc_id")
-    tf = pairs.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    return (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-        .orderBy("term")
-    )
+    the reference's ANALYZE statistics, §2.9), aggregated from the
+    COMPRESSED BLOCK METADATA of the shared index rather than by
+    re-exploding one shuffle row per token occurrence: each block
+    already carries (n_docs, sum_tf), so the stats pass touches
+    thousands of metadata rows instead of millions of token rows — the
+    reason the build aggregates map-side in the Arrow kernel (the
+    DuckDB oracle still recomputes from raw text, so the equality
+    certifies the whole build's tf/df accounting per round)."""
+    from terrier_spark.operators.index_build import lexicon_from_blocks
+
+    idx = _built_index(spark, sf_dir)
+    return lexicon_from_blocks(idx.blocks).orderBy("term")
 
 
 def ir_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
