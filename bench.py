@@ -32,7 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # scaling harnesses (scripts/scaling_*.py) already default to it.
 # Both knobs stay env-overridable.
 if os.path.isdir("/dev/shm"):
-    _shm = "/dev/shm/spark-tmp"
+    # Per-user path: a shared fixed name is created 0755 by the first
+    # user and is then unwritable for every other user's blockmgr dirs.
+    _shm = f"/dev/shm/spark-tmp-{os.getuid()}"
     os.makedirs(_shm, exist_ok=True)
     os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", _shm)   # spark.local.dir
     os.environ.setdefault("TMPDIR", _shm)                  # scratch parquet

@@ -132,7 +132,7 @@ def run_level(corpus: str, workers: int, cores: int, repo_root: str) -> dict:
     total = workers * cores
     elog = tempfile.mkdtemp(prefix=f"ts_elog_c{workers}x{cores}_")
     env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-tmp")
+    env.setdefault("SPARK_GRAFT_LOCAL_DIR", f"/dev/shm/spark-tmp-{os.getuid()}")
     try:
         allowed = sorted(os.sched_getaffinity(0))
     except AttributeError:

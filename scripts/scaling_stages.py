@@ -154,7 +154,7 @@ def main() -> None:
     for c in levels:
         elog = tempfile.mkdtemp(prefix=f"ts_elog_{c}_")
         env = dict(os.environ)
-        env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-tmp")
+        env.setdefault("SPARK_GRAFT_LOCAL_DIR", f"/dev/shm/spark-tmp-{os.getuid()}")
         # Pin to the TOP of the ALLOWED cpu set: measured on this host,
         # low vcpus carry ~6x the hypervisor steal of high ones
         # (neighbor VMs are packed low) — 8.4% vs 1.5% during identical

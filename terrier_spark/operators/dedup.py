@@ -201,7 +201,14 @@ def _fanout_parts(df: DataFrame) -> int:
         return cores
     lo = -(-est // _FANOUT_MIN_TASK_BYTES)
     hi = max(cores, -(-est // _FANOUT_MAX_TASK_BYTES))
-    return max(1, min(lo, hi))
+    # Hard ceiling scaled with the cluster: Catalyst's non-CBO size
+    # estimate MULTIPLIES child sizes through a join, so a 100 MB corpus
+    # joined to a tiny dim table can estimate terabytes and (without
+    # this cap) shuffle into tens of thousands of near-empty partitions
+    # of pure scheduling overhead.  64 parts/core keeps the cap
+    # proportional on a real cluster (32 cores -> 2048 parts = 128 GB of
+    # honestly-estimated input before it binds).
+    return max(1, min(lo, hi, cores * 64))
 
 
 def _shingle_hash_batch(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:

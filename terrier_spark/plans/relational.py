@@ -83,6 +83,13 @@ def _scratch_dir(name: str) -> str:
         except ValueError:
             continue
         if pid == os.getpid():
+            # Same pid is NOT proof it's our dir: a dead session's pid
+            # can be recycled to THIS process.  Our own dir carries our
+            # starttime suffix; any other suffix under our pid is a dead
+            # session's litter and the disambiguator to prove it is in
+            # hand (review finding on the r3 nitpick-#5 fix).
+            if len(parts) > 1 and my_start is not None and parts[1] != my_start:
+                shutil.rmtree(d, ignore_errors=True)
             continue
         try:
             os.kill(pid, 0)  # raises if gone

@@ -94,10 +94,12 @@ def ir_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason the build aggregates map-side in the Arrow kernel (the
     DuckDB oracle still recomputes from raw text, so the equality
     certifies the whole build's tf/df accounting per round)."""
-    from terrier_spark.operators.index_build import lexicon_from_blocks
-
     idx = _built_index(spark, sf_dir)
-    return lexicon_from_blocks(idx.blocks).orderBy("term")
+    # idx.lexicon IS lexicon_from_blocks(blocks), already persisted by
+    # build_index — reusing the handle skips a fresh aggregation job and
+    # keeps this entry pinned to the build's own accounting (one
+    # definition to keep in sync, not two).
+    return idx.lexicon.orderBy("term")
 
 
 def ir_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -241,4 +241,25 @@ def test_fanout_parts_scales_with_bytes_not_cores(spark, docs):
     ]:
         lo = -(-est // dedup._FANOUT_MIN_TASK_BYTES)
         hi = max(cores, -(-est // dedup._FANOUT_MAX_TASK_BYTES))
-        assert max(1, min(lo, hi)) == expect, est
+        assert max(1, min(lo, hi, cores * 64)) == expect, est
+
+
+def test_fanout_parts_capped_against_inflated_estimates(spark, docs):
+    """Catalyst's non-CBO stats MULTIPLY child sizes through a join, so
+    a small corpus joined to a tiny dim can estimate terabytes while
+    staying under the 2^50 missing-stats sentinel.  The fan-out must
+    stay bounded (64 parts/core), not shuffle into tens of thousands of
+    near-empty partitions of scheduling overhead."""
+    cores = spark.sparkContext.defaultParallelism
+    dim = spark.createDataFrame(
+        [(r.doc_id, 1) for r in docs.select("doc_id").limit(50).collect()],
+        ["doc_id", "flag"],
+    )
+    joined = docs.join(dim, "doc_id", "left")
+    assert dedup._fanout_parts(joined) <= cores * 64
+    # and the pure math: a 1 TB estimate under the sentinel still caps
+    est = 1 << 40
+    lo = -(-est // dedup._FANOUT_MIN_TASK_BYTES)
+    hi = max(cores, -(-est // dedup._FANOUT_MAX_TASK_BYTES))
+    assert min(lo, hi) > cores * 64  # would explode without the cap
+    assert max(1, min(lo, hi, cores * 64)) == cores * 64

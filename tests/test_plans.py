@@ -154,11 +154,23 @@ def test_scratch_dir_sweeps_dead_and_recycled_pids():
     prefix = os.path.join(
         tempfile.gettempdir(), f"terrier_spark_scratch_{getpass.getuser()}_"
     )
-    dead = prefix + "999999"  # pid far beyond pid_max usage here
+    # A pid that is genuinely unused RIGHT NOW (kernel.pid_max can be
+    # 4194304 on systemd hosts, so no fixed number is safely dead —
+    # probe /proc for a free slot instead).
+    dead_pid = next(
+        p for p in range(500000, 600000) if not os.path.exists(f"/proc/{p}")
+    )
+    dead = prefix + str(dead_pid)
     recycled = prefix + "1_00000"  # pid 1 is alive; starttime can't match
+    # Our own pid with a foreign starttime: a dead session whose pid was
+    # recycled to THIS process must not be shielded by the == getpid()
+    # short-circuit.
+    self_recycled = prefix + f"{os.getpid()}_00000"
     os.makedirs(dead, exist_ok=True)
     os.makedirs(recycled, exist_ok=True)
+    os.makedirs(self_recycled, exist_ok=True)
     mine = os.path.dirname(_scratch_dir("probe"))
     assert not os.path.isdir(dead)
     assert not os.path.isdir(recycled)
+    assert not os.path.isdir(self_recycled)
     assert os.path.isdir(mine)
