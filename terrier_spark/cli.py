@@ -167,7 +167,13 @@ def cmd_bench(args) -> None:
         for c in levels:
             env = dict(os.environ)
             env["SPARK_GRAFT_CPUS"] = str(c)
-            env.setdefault("SPARK_GRAFT_LOCAL_DIR", f"/dev/shm/spark-tmp-{os.getuid()}")
+            # tmpfs shuffle dir only where /dev/shm exists (same guard
+            # as bench.py — macOS / minimal containers lack it, and an
+            # uncreatable spark.local.dir fails session startup).
+            if os.path.isdir("/dev/shm"):
+                env.setdefault(
+                    "SPARK_GRAFT_LOCAL_DIR", f"/dev/shm/spark-tmp-{os.getuid()}"
+                )
             # Pin the WHOLE process tree (JVM + Python workers) to c
             # CPUs: local[c] only caps JVM task slots — Python workers
             # run outside it, so an unpinned "local[2]" silently uses

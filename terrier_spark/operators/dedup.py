@@ -441,12 +441,18 @@ def minhash_band_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, band, bhash) straight from raw (doc_id, text): the
-    shingle-hash pass composed with the signature kernel.  Kept as the
-    standalone API; minhash_lsh_pairs persists the intermediate hash
-    arrays so its verify step reuses them."""
-    sh = shingle_hash_df(base, n, id_col=id_col, text_col=text_col)
-    return _band_rows_from_hashes(sh, num_perm, bands, seed)
+    """(doc_id, band, bhash) straight from raw (doc_id, text), in ONE
+    Arrow pass: the fused shingle+signature kernel (shingle_band_df)
+    followed by a JVM-side posexplode of the band array — the same plan
+    shape minhash_lsh_pairs uses, without the second Python round-trip
+    the old shingle_hash_df→_band_rows_from_hashes chain paid (that
+    two-pass twin survives only as the fusion test's oracle).  Docs with
+    no shingles carry an empty band array and so emit nothing, matching
+    the two-pass contract."""
+    fused = shingle_band_df(
+        base, n, num_perm, bands, seed, id_col=id_col, text_col=text_col
+    )
+    return fused.select("doc_id", F.posexplode("bh").alias("band", "bhash"))
 
 
 def _materialize_cleanup(out: DataFrame, caches: list, name: str) -> DataFrame:

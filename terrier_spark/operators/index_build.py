@@ -97,13 +97,38 @@ class InvertedIndex:
     # holes and its extent outruns its doc count.  Successive merges MUST
     # rebase from this (not num_docs) or segment docno ranges collide.
     docno_limit: int | None = None
+    # Scratch parquet dirs this index's plans scan (cache=False builds
+    # snapshot the ranged ids there).  Owned by the index: release()
+    # reclaims them, after which the index must not be queried again.
+    scratch_dirs: tuple = ()
 
     def __post_init__(self):
         if self.docno_limit is None:
             self.docno_limit = self.num_docs
 
+    def release(self) -> None:
+        """Drop every resource the index pins: unpersist its frames and
+        delete its scratch snapshots.  The index is unusable afterwards
+        (its plans scan the deleted snapshot).  The reclamation hook for
+        long-lived drivers building many cache=False indexes — without
+        it each build leaks one full id-column parquet under the
+        tempdir (tmpfs RAM, under bench.py's /dev/shm default) until
+        process exit (review finding r4)."""
+        import shutil
 
-def assign_docnos(ids: DataFrame, persist: bool = True) -> tuple[DataFrame, int]:
+        for frame in (self.docmap, self.blocks, self.lexicon):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+        for d in self.scratch_dirs:
+            if "://" not in d:
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def assign_docnos(
+    ids: DataFrame, persist: bool = True
+) -> tuple[DataFrame, int, DataFrame, str | None]:
     """doc_id → dense docno ordered by doc_id.  No tokenization, no
     payload: the pass moves ONLY the id column (pruned straight from the
     columnar cache / parquet scan), so it stays cheap at any corpus size.
@@ -113,7 +138,12 @@ def assign_docnos(ids: DataFrame, persist: bool = True) -> tuple[DataFrame, int]
     number rows per range partition with a partition-local window, and
     add per-partition offsets computed from partition counts — the
     standard scalable dense-rank.  Entirely JVM-side (no Python workers).
-    Output: ((doc_id, docno), num_docs, ranged-cache-handle).
+    Output: ((doc_id, docno), num_docs, ranged-cache-handle,
+    snapshot-path-or-None).  The snapshot path (persist=False only)
+    backs every downstream plan for the index's lifetime; the builder
+    records it on InvertedIndex.scratch_dirs so release() can reclaim
+    it (review finding r4: snapshots otherwise accumulate per build for
+    the life of the process — RAM, when TMPDIR is a tmpfs).
 
     ``persist=False`` (the cache=False build path) keeps nothing pinned
     in the session (VERDICT r3 #1: both consumers unpersisted the cache
@@ -139,6 +169,7 @@ def assign_docnos(ids: DataFrame, persist: bool = True) -> tuple[DataFrame, int]
     ranged = base.repartitionByRange(parts, "doc_id").withColumn(
         "pidx", F.spark_partition_id()
     )
+    snap = None
     if persist:
         ranged = ranged.persist()
     else:
@@ -169,7 +200,7 @@ def assign_docnos(ids: DataFrame, persist: bool = True) -> tuple[DataFrame, int]
     # (terabytes) — instead write docmap itself out and read it back.
     # Locally the cache is small; callers unpersist the returned handle
     # once docmap has been materialized.
-    return docmap, acc, ranged
+    return docmap, acc, ranged, snap
 
 
 # Broadcast the docmap into the postings join while it fits comfortably
@@ -960,7 +991,7 @@ def build_index(
     _prof = _os.environ.get("TS_BUILD_PROFILE") == "1"
     _t0 = _time.monotonic()
 
-    docmap, num_docs, ranged = assign_docnos(
+    docmap, num_docs, ranged, snap = assign_docnos(
         docs.select(F.col(id_col).alias("doc_id")), persist=cache
     )
     if cache:
@@ -1026,6 +1057,7 @@ def build_index(
         avgdl=avgdl,
         bucket_span=span,
         stem=stem,
+        scratch_dirs=(snap,) if snap else (),
     )
 
 
@@ -1042,7 +1074,7 @@ def index_from_postings(
     this assembly (docnos → block encode → lexicon) runs — no document
     is re-read or re-tokenized."""
     null_rows = kernel_out.filter(F.col("term").isNull())
-    docmap, num_docs, ranged = assign_docnos(
+    docmap, num_docs, ranged, snap = assign_docnos(
         null_rows.select("doc_id"), persist=cache
     )
     if cache:
@@ -1069,6 +1101,7 @@ def index_from_postings(
         num_tokens=num_tokens,
         avgdl=num_tokens / num_docs if num_docs else 0.0,
         bucket_span=span,
+        scratch_dirs=(snap,) if snap else (),
     )
 
 
@@ -1173,6 +1206,9 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
         stem=a.stem,
         positions=a.positions,
         docno_limit=offset + b.docno_limit,
+        # merged plans derive lazily from both parents' frames, so the
+        # merge inherits any snapshots backing them
+        scratch_dirs=tuple(a.scratch_dirs) + tuple(b.scratch_dirs),
     )
 
 

@@ -71,10 +71,43 @@ def _query_terms(query: str, stem: bool = False) -> list[str]:
 # filter keeps that collect O(query terms).
 LEX_DRIVER_CACHE_MAX_TERMS = 500_000
 
-# Serializes the AQE on/off toggle in bm25_topk (session-global conf):
-# without it two concurrent calls can interleave save/restore and leave
-# adaptive execution permanently disabled for the whole session.
+# Refcounted AQE-off window for bm25_topk (session-global conf): the
+# FIRST entrant saves the previous value and flips it off, the LAST
+# exit restores it, and the lock guards only the depth/conf transitions
+# — NOT the scoring action — so N concurrent bm25_topk calls score in
+# parallel instead of serializing their collects (review finding on the
+# r4 lock that spanned the whole job).  Unbalanced save/restore (the
+# permanently-AQE-off interleaving the old lock prevented) is impossible
+# because only depth 0→1 saves and 1→0 restores.  Depth is tracked per
+# SparkSession so two sessions in one process don't share a counter.
 _AQE_TOGGLE_LOCK = threading.Lock()
+_AQE_STATE: dict[int, list] = {}  # id(session) -> [depth, prev_value]
+
+
+class _aqe_disabled:
+    """Context manager: adaptive execution off for the duration, shared
+    refcount across concurrent entrants of the same session."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        with _AQE_TOGGLE_LOCK:
+            st = _AQE_STATE.setdefault(id(self.spark), [0, None])
+            if st[0] == 0:
+                st[1] = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            st[0] += 1
+        return self
+
+    def __exit__(self, *exc):
+        with _AQE_TOGGLE_LOCK:
+            st = _AQE_STATE[id(self.spark)]
+            st[0] -= 1
+            if st[0] == 0:
+                self.spark.conf.set("spark.sql.adaptive.enabled", st[1])
+                del _AQE_STATE[id(self.spark)]
+        return False
 
 
 def _lexicon_dfs(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
@@ -503,9 +536,10 @@ def bm25_topk(
     re-planning barrier, which measured as 6 driver round-trips per
     warm query on plans whose shapes are fixed and tiny (k rows, one
     small shuffle) — batch/analytic paths keep AQE, where it earns its
-    barriers.  The toggle is session-global conf, so it is held under
-    a process-wide lock: concurrent bm25_topk calls serialize their
-    (short) driver sections instead of racing the save/restore into a
+    barriers.  The toggle is session-global conf, managed by the
+    refcounted _aqe_disabled window: concurrent bm25_topk calls score
+    in PARALLEL (only the first entrant flips the conf, only the last
+    restores it), and the save/restore can never interleave into a
     permanently-AQE-off session.  An unrelated query PLANNED by another
     thread inside the window runs correct-but-non-adaptive — a perf
     wobble, never a wrong result."""
@@ -515,25 +549,20 @@ def bm25_topk(
     schema = f"doc_id {id_type}, docno long, score double"
     if local is None:
         return spark.createDataFrame([], schema)
-    with _AQE_TOGGLE_LOCK:
-        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            rows = (
-                local.orderBy(F.desc("score"), F.asc("docno")).limit(k)
-                .select("docno", "score")
+    with _aqe_disabled(spark):
+        rows = (
+            local.orderBy(F.desc("score"), F.asc("docno")).limit(k)
+            .select("docno", "score")
+            .collect()
+        )
+        if rows:
+            docnos = [int(r["docno"]) for r in rows]
+            id_of = {
+                r["docno"]: r["doc_id"]
+                for r in index.docmap.filter(F.col("docno").isin(docnos))
+                .select("doc_id", "docno")
                 .collect()
-            )
-            if rows:
-                docnos = [int(r["docno"]) for r in rows]
-                id_of = {
-                    r["docno"]: r["doc_id"]
-                    for r in index.docmap.filter(F.col("docno").isin(docnos))
-                    .select("doc_id", "docno")
-                    .collect()
-                }
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev)
+            }
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(

@@ -34,6 +34,49 @@ from pyspark.sql.window import Window
 from terrier_spark.sources.tables import load_table
 
 
+_SCRATCH_WARNED = False
+
+
+def _scratch_root() -> str:
+    """Root for scratch tables executors write and the driver reads
+    back.  Default: the driver-local tempdir — correct on local[*]
+    (driver and executors share one filesystem), WRONG on a multi-node
+    cluster (each executor commits its task files to its OWN /tmp and
+    the driver-side read sees a truncated or empty table, silently).
+    ``SPARK_GRAFT_SCRATCH_DIR`` overrides it with a shared location —
+    a plain path (NFS) or a cluster URI (hdfs://…, s3a://…); URI roots
+    skip the local-fs sweep/mkdir (Spark's committers create dirs).  A
+    one-time warning fires when the active session is non-local and the
+    default driver-local root is in use."""
+    import os
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if root:
+        return root
+    global _SCRATCH_WARNED
+    if not _SCRATCH_WARNED:
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            master = sess.sparkContext.master if sess else "local"
+        except Exception:
+            master = "local"
+        if not master.startswith("local"):
+            import logging
+
+            logging.getLogger("terrier_spark.scratch").warning(
+                "scratch tables default to the driver-local tempdir, which "
+                "executors on other nodes cannot populate (master=%s); set "
+                "SPARK_GRAFT_SCRATCH_DIR to a shared path or cluster URI",
+                master,
+            )
+            _SCRATCH_WARNED = True
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
 def _scratch_dir(name: str) -> str:
     """Deterministic per-user-per-process scratch path, reused (and
     overwritten) across invocations within a session — repeated bench /
@@ -43,14 +86,19 @@ def _scratch_dir(name: str) -> str:
     mid-query)."""
     import getpass
     import os
-    import tempfile
 
     import glob
     import shutil
 
-    prefix = os.path.join(
-        tempfile.gettempdir(), f"terrier_spark_scratch_{getpass.getuser()}_"
-    )
+    root = _scratch_root()
+    if "://" in root:
+        # Cluster URI: no local-fs sweep/mkdir — hand back a path under
+        # the shared root; Spark's output committers create it.
+        return (
+            f"{root.rstrip('/')}/terrier_spark_scratch_"
+            f"{getpass.getuser()}_{os.getpid()}/{name}"
+        )
+    prefix = os.path.join(root, f"terrier_spark_scratch_{getpass.getuser()}_")
     # pre-pid-suffix versions used one shared dir; sweep it too
     legacy = prefix[:-1]
     if os.path.isdir(legacy):
@@ -110,6 +158,9 @@ def _scratch_dir(name: str) -> str:
 
 
 _SCRATCH_SEQ = itertools.count()
+# Every per-call scratch dir handed out in this process, in creation
+# order — the in-process reclamation hook (release_uniq_scratch).
+_UNIQ_DIRS: list[str] = []
 
 
 def _scratch_dir_uniq(name: str) -> str:
@@ -117,9 +168,34 @@ def _scratch_dir_uniq(name: str) -> str:
     returned DataFrame lazily re-scans the path — a later call with the
     same name must not overwrite the parquet backing an earlier result
     still held by the caller.  Dirs accumulate within the process (each
-    is small: verified pair sets, id snapshots) and the dead-process
-    sweep reclaims them after exit."""
-    return _scratch_dir(f"{name}_{next(_SCRATCH_SEQ)}")
+    is small: verified pair sets, id snapshots); a long-lived driver
+    reclaims them with release_uniq_scratch() once the results they back
+    are no longer held, and the dead-process sweep reclaims them after
+    exit.  cache=False indexes own their snapshot individually via
+    InvertedIndex.release()."""
+    d = _scratch_dir(f"{name}_{next(_SCRATCH_SEQ)}")
+    _UNIQ_DIRS.append(d)
+    return d
+
+
+def release_uniq_scratch() -> int:
+    """Delete every per-call scratch dir this process created and return
+    the count removed.  Caller contract: no DataFrame backed by one of
+    these dirs (dedup pair sets with cleanup=True, cache=False index
+    snapshots) is still live — their next scan would fail.  The hook for
+    long-lived drivers (streaming ingest loops, services) where waiting
+    for the after-exit dead-process sweep means unbounded tempdir — or,
+    with a tmpfs TMPDIR, RAM — growth (review finding r4)."""
+    import shutil
+
+    n = 0
+    while _UNIQ_DIRS:
+        d = _UNIQ_DIRS.pop()
+        if "://" in d:
+            continue  # cluster URI: lifecycle belongs to the shared store
+        shutil.rmtree(d, ignore_errors=True)
+        n += 1
+    return n
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

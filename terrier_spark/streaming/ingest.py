@@ -321,6 +321,16 @@ def vacuum(index_dir: str, min_age_s: float = 3600.0) -> list[str]:
             newest = os.path.getmtime(p)
         if now - newest < min_age_s:
             continue
-        shutil.rmtree(p, ignore_errors=True)
+        # Re-check liveness + sentinel under the lock IMMEDIATELY before
+        # deletion: a writer can commit (manifest publish + sentinel
+        # removal, both inside _MANIFEST_LOCK in ingest_batch) after the
+        # snapshot above, making a dir that was dead-and-sentinel-less at
+        # scan time manifest-live by rmtree time.  Commit is atomic under
+        # the same lock, so this locked re-read is authoritative.
+        with _MANIFEST_LOCK:
+            live_now = {s["name"] for s in _read_manifest(index_dir)}
+            if entry in live_now or os.path.exists(os.path.join(p, IN_PROGRESS)):
+                continue
+            shutil.rmtree(p, ignore_errors=True)
         removed.append(p)
     return removed

@@ -92,3 +92,45 @@ def test_single_query_batch_path_rank_identical(spark_index, oracle_index, query
 
     got = bm25_topk(spark_index, query, 10).collect()
     _check(got, oracle.bm25_topk(oracle_index, query, 10))
+
+
+def test_aqe_window_is_refcounted_not_serialized(spark):
+    """_aqe_disabled (review finding r4): concurrent entrants share one
+    refcounted AQE-off window instead of serializing behind a lock that
+    spanned the scoring collect.  All four threads must be INSIDE the
+    window simultaneously (the barrier would time out under the old
+    whole-body lock), nesting must not restore early, and the last exit
+    restores the original value exactly once."""
+    import threading
+
+    from terrier_spark.operators.score import _aqe_disabled
+
+    key = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(key, "true")
+    spark.conf.set(key, "true")
+    try:
+        # nesting: inner exit must not restore early
+        with _aqe_disabled(spark):
+            assert spark.conf.get(key) == "false"
+            with _aqe_disabled(spark):
+                assert spark.conf.get(key) == "false"
+            assert spark.conf.get(key) == "false"
+        assert spark.conf.get(key) == "true"
+
+        barrier = threading.Barrier(4, timeout=30)
+        seen = []
+
+        def worker():
+            with _aqe_disabled(spark):
+                barrier.wait()  # proves no serialization across the body
+                seen.append(spark.conf.get(key))
+
+        threads = [threading.Thread(target=worker) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert seen == ["false"] * 4
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, orig)

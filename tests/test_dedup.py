@@ -263,3 +263,50 @@ def test_fanout_parts_capped_against_inflated_estimates(spark, docs):
     hi = max(cores, -(-est // dedup._FANOUT_MAX_TASK_BYTES))
     assert min(lo, hi) > cores * 64  # would explode without the cap
     assert max(1, min(lo, hi, cores * 64)) == cores * 64
+
+
+def test_minhash_band_rows_is_one_pass_and_matches_twin(spark, docs):
+    """The public minhash_band_rows API now rides the fused kernel +
+    JVM posexplode (one Arrow pass) instead of the two-pass
+    shingle_hash_df -> _band_rows_from_hashes chain (review finding r4);
+    values must be identical to the two-pass twin."""
+    n, num_perm, bands, seed = 2, 64, 16, 42
+    got = sorted(
+        (r["doc_id"], r["band"], r["bhash"])
+        for r in dedup.minhash_band_rows(
+            docs, n=n, num_perm=num_perm, bands=bands, seed=seed
+        ).collect()
+    )
+    sh = dedup.shingle_hash_df(docs, n)
+    exp = sorted(
+        (r["doc_id"], r["band"], r["bhash"])
+        for r in dedup._band_rows_from_hashes(sh, num_perm, bands, seed).collect()
+    )
+    assert got == exp
+    # one pass: exactly one Python-worker stage (mapInPandas) in the plan
+    plan = dedup.minhash_band_rows(docs, n=n, num_perm=num_perm, bands=bands)
+    assert plan._jdf.queryExecution().executedPlan().toString().count("MapInPandas") == 1
+
+
+def test_release_uniq_scratch_reclaims_pair_sets(spark, docs):
+    """cleanup=True pair sets materialize to per-call scratch parquet;
+    release_uniq_scratch() reclaims them in-process (review finding r4:
+    a long-lived driver otherwise grows the tempdir — RAM under a tmpfs
+    TMPDIR — until exit).  The registry is swapped out and restored so
+    other tests' still-live scratch results are untouched."""
+    import os
+
+    from terrier_spark.plans import relational as R
+
+    saved = R._UNIQ_DIRS[:]
+    del R._UNIQ_DIRS[:]
+    try:
+        pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, num_perm=16, bands=8)
+        pairs.count()
+        created = R._UNIQ_DIRS[:]
+        assert created and all(os.path.isdir(d) for d in created)
+        assert R.release_uniq_scratch() == len(created)
+        assert not R._UNIQ_DIRS
+        assert all(not os.path.exists(d) for d in created)
+    finally:
+        R._UNIQ_DIRS.extend(saved)

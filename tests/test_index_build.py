@@ -171,3 +171,29 @@ def test_bucket_span_out_of_range_raises(spark, corpus_sdf):
     for bad in (0, -5, MAX_BUCKET_SPAN + 1, 1 << 32):
         with pytest.raises(ValueError, match="bucket_span"):
             build_index(corpus_sdf, bucket_span=bad)
+
+
+def test_cache_false_release_reclaims_snapshot(spark, corpus_sdf, oracle_index):
+    """A cache=False build on non-alignable ids snapshots the ranged ids
+    to scratch parquet; the snapshot backs the index's plans for its
+    lifetime and InvertedIndex.release() reclaims it (review finding r4:
+    snapshots otherwise accumulate one full id column per build until
+    process exit — tmpfs RAM under bench.py's /dev/shm default)."""
+    import os
+
+    from terrier_spark.oracle import bm25_topk as oracle_bm25
+    from terrier_spark.operators.index_build import build_index
+    from terrier_spark.operators.score import bm25_topk_exploded
+
+    docs = corpus_sdf.select(
+        F.concat(F.lit("id-"), "doc_id").alias("doc_id"), "content"
+    )
+    idx = build_index(docs, id_col="doc_id", text_col="content", cache=False)
+    assert idx.scratch_dirs, "shuffle-strategy cache=False build must record its snapshot"
+    assert all(os.path.isdir(d) for d in idx.scratch_dirs)
+    # index is fully queryable while the snapshot lives
+    got = bm25_topk_exploded(idx, "int return", 10).collect()
+    exp = oracle_bm25(oracle_index, "int return", 10)
+    assert [r["doc_id"][3:] for r in got] == [d for d, _ in exp]
+    idx.release()
+    assert all(not os.path.exists(d) for d in idx.scratch_dirs)

@@ -285,3 +285,30 @@ def test_vacuum_still_removes_dead_unreferenced_dirs(spark, dirs):
         f.write("x")
     assert ingest.vacuum(dirs["idx"], min_age_s=0) == [dead]
     assert not os.path.exists(dead)
+
+
+def test_vacuum_recheck_spares_segment_committed_mid_scan(spark, dirs, monkeypatch):
+    """TOCTOU guard (review finding r4): a segment that becomes
+    manifest-live AFTER vacuum snapshots the live set but BEFORE its
+    rmtree must survive — vacuum re-checks manifest membership under
+    _MANIFEST_LOCK immediately before each deletion.  Simulated by
+    making the snapshot read return a STALE (empty) manifest while the
+    locked re-check sees the real one."""
+    ingest.ingest_batch(_tiny(spark, 0, 10), 0, dirs["idx"], bucket_span=SPAN)
+    seg = os.path.join(dirs["idx"], "seg_00000000")
+    assert os.path.isdir(seg)
+
+    real_read = ingest._read_manifest
+    calls = {"n": 0}
+
+    def stale_first_read(index_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return []  # the pre-commit snapshot: segment not yet live
+        return real_read(index_dir)
+
+    monkeypatch.setattr(ingest, "_read_manifest", stale_first_read)
+    assert ingest.vacuum(dirs["idx"], min_age_s=0) == []
+    assert calls["n"] >= 2  # the locked re-check actually ran
+    assert os.path.isdir(seg)
+    assert ingest.open_live_index(spark, dirs["idx"]).num_docs == 10
