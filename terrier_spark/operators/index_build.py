@@ -282,24 +282,23 @@ TARGET_TASK_BYTES = 128 << 20
 _WARNED_NO_SIZE_STATS = False
 
 
-def _data_parts(df: DataFrame) -> int:
-    """Shuffle partition count derived from the optimizer's input-size
-    estimate: max(cores, ceil(est_bytes / TARGET_TASK_BYTES)).  Uses
-    Catalyst's sizeInBytes (free — file-size statistics, no job); falls
-    back to core count when the estimate is missing or a sentinel
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan sizeInBytes estimate (free — file-size
+    statistics, no job), or None when unavailable or a sentinel
     (LongMaxValue for plans Catalyst can't size).
 
-    The sizeInBytes probe goes through a private JVM handle (no public
-    PySpark API exposes plan statistics), so on Spark Connect or after
-    an internal API change it degrades to core-count-derived partitions
-    — the r2 scale-weak mode where per-task memory grows with data
-    size.  That degradation is now VISIBLE: a warning is logged once
-    per process (VERDICT r3 hygiene #3)."""
+    The probe goes through a private JVM handle (no public PySpark API
+    exposes plan statistics), so on Spark Connect or after an internal
+    API change every size-derived partitioning in the engine degrades
+    to core-count mode — the r2 scale-weak shape where per-task memory
+    grows with data size.  The probe therefore lives in exactly ONE
+    place (shared by _data_parts and dedup._fanout_parts — review
+    finding r4: the dedup copy degraded silently) and the degradation
+    is VISIBLE: a warning is logged once per process (VERDICT r3
+    hygiene #3)."""
     import logging
 
     global _WARNED_NO_SIZE_STATS
-    spark = df.sparkSession
-    floor_parts = max(spark.sparkContext.defaultParallelism, 8)
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # Spark Connect / unexpected plan shape
@@ -307,14 +306,25 @@ def _data_parts(df: DataFrame) -> int:
             _WARNED_NO_SIZE_STATS = True
             logging.getLogger("terrier_spark.index_build").warning(
                 "Catalyst sizeInBytes unavailable (Spark Connect or internal "
-                "API change): falling back to core-count-derived shuffle "
-                "partitions (%d). Per-task memory now grows with input size; "
-                "set target_buckets/bucket partitioning explicitly for large "
-                "corpora.",
-                floor_parts,
+                "API change): falling back to core-count-derived partitioning. "
+                "Per-task memory now grows with input size; set "
+                "target_buckets/bucket partitioning explicitly for large "
+                "corpora."
             )
-        return floor_parts
+        return None
     if est <= 0 or est > (1 << 50):  # missing stats or sentinel
+        return None
+    return est
+
+
+def _data_parts(df: DataFrame) -> int:
+    """Shuffle partition count derived from the optimizer's input-size
+    estimate: max(cores, ceil(est_bytes / TARGET_TASK_BYTES)); falls
+    back to core count when plan_size_bytes can't size the plan."""
+    spark = df.sparkSession
+    floor_parts = max(spark.sparkContext.defaultParallelism, 8)
+    est = plan_size_bytes(df)
+    if est is None:
         return floor_parts
     return max(floor_parts, -(-est // TARGET_TASK_BYTES))
 
@@ -388,9 +398,17 @@ def _encode_sorted(
     sum_tf = np.add.reduceat(tf, blk_start_idx)
     max_tf = np.maximum.reduceat(tf, blk_start_idx)
     min_dl = np.minimum.reduceat(dl, blk_start_idx)
-    k_in_grp = row_in_grp[blk_start_idx] // BLOCK_DOCS
     bkt_b = bucket[blk_start_idx]
-    block_id = bkt_b * 1_000_000 + k_in_grp
+    # block_id = bucket * 1e6 + (first_docno % 1e6): unique within
+    # (term, bucket) because docnos inside one bucket sit in a span of
+    # < 2^18 < 1e6 consecutive values, so distinct block firsts stay
+    # distinct mod 1e6 — and chunk-independent (the former
+    # blocks-within-group counter restarted at 0 for every
+    # ARROW_SLICE_DOCS chunk of a bucket, duplicating ids for buckets
+    # larger than one chunk — review finding r4).  merge_indexes
+    # recomputes it from the rebased bucket/first_docno so the id
+    # always encodes the post-merge bucket.
+    block_id = bkt_b * 1_000_000 + (first % 1_000_000)
 
     # Blocks tile each encoded stream contiguously (block j ends exactly
     # where block j+1 starts), so every blob column is ONE zero-copy
@@ -1168,6 +1186,17 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
                     )
                 elif name in ("first_docno", "last_docno"):
                     arrays.append(pa.compute.add(tbl.column(name), offset))
+                elif name == "block_id":
+                    # keep the id's (bucket, first % 1e6) encoding
+                    # consistent with the rebased metadata columns
+                    b_old = tbl.column("bucket").to_numpy()
+                    f_old = tbl.column("first_docno").to_numpy()
+                    arrays.append(
+                        pa.array(
+                            (b_old + bucket_off) * 1_000_000
+                            + (f_old + offset) % 1_000_000
+                        )
+                    )
                 else:
                     col = tbl.column(name)
                     arrays.append(

@@ -38,16 +38,25 @@ from pyspark.sql import functions as F
 
 import pandas as pd
 
-from terrier_spark.functions.tokenize import TOKEN_PATTERN, py_tokenize_iter
+from terrier_spark.functions.tokenize import py_tokenize_iter
 
 
 def positional_postings(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "content"
 ) -> DataFrame:
     """(doc_id, term, positions array<int>, dl) — one row per distinct
-    (doc, term); positions are 0-based kept-token indexes, ascending."""
+    (doc, term); positions are 0-based kept-token indexes, ascending.
+
+    The tokenize prefix is NOT re-implemented here: the kernel calls
+    the shared pinned tokenizer (functions.tokenize
+    .tokenize_count_slice_pos — the same code path the positional
+    index build runs), so a tokenizer change can never desynchronize
+    this raw-corpus phrase path from the indexed one (review finding
+    r4: this used to be a hand-synced copy of the prefix)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    from terrier_spark.functions.tokenize import tokenize_count_slice_pos
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"doc_id {id_type}, term string, positions array<int>, dl long"
@@ -56,44 +65,24 @@ def positional_postings(
         for rb in batches:
             ids = rb.column(0)
             content = pc.coalesce(rb.column(1), pa.scalar("", pa.string()))
-            n = len(content)
-            if n == 0:
+            if len(content) == 0:
                 continue
-            toks = pc.split_pattern_regex(pc.utf8_lower(content), TOKEN_PATTERN)
-            lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-            flat = pc.list_flatten(toks)
-            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)[keep]
-            enc = pc.dictionary_encode(flat)
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[keep]
-            vocab = enc.dictionary
-            if len(doc_idx) == 0:
-                continue
-            # kept-token position within each doc (docs are contiguous
-            # and in order in the flattened stream)
-            counts = np.bincount(doc_idx, minlength=n)
-            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            pos = (np.arange(len(doc_idx)) - offs[doc_idx]).astype(np.int32)
-            # group to (doc, term) -> sorted position list
-            order = np.lexsort((pos, codes, doc_idx))
-            d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
-            grp_change = np.empty(len(d_s), dtype=bool)
-            grp_change[0] = True
-            np.logical_or(
-                d_s[1:] != d_s[:-1], c_s[1:] != c_s[:-1], out=grp_change[1:]
+            u_doc, u_code, tf, dl, vocab, pos_flat = tokenize_count_slice_pos(
+                content
             )
-            starts = np.flatnonzero(grp_change)
-            offsets = np.concatenate((starts, [len(p_s)])).astype(np.int32)
-            pos_lists = pa.ListArray.from_arrays(offsets, pa.array(p_s, pa.int32()))
-            u_doc, u_code = d_s[starts], c_s[starts]
+            if len(u_doc) == 0:
+                continue
+            # posting j's positions are pos_flat[cum_tf[j-1]:cum_tf[j]]
+            offsets = np.concatenate(([0], np.cumsum(tf))).astype(np.int32)
+            pos_lists = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(pos_flat.astype(np.int32), pa.int32())
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.take(pa.array(u_doc)),
                     vocab.take(pa.array(u_code)),
                     pos_lists,
-                    pa.array(counts[u_doc].astype(np.int64)),
+                    pa.array(dl[u_doc].astype(np.int64)),
                 ],
                 names=["doc_id", "term", "positions", "dl"],
             )
@@ -282,6 +271,12 @@ def phrase_match_indexed(idx, phrase: str) -> DataFrame:
     matched = cand.groupBy("bucket").applyInPandas(
         lambda pdf: match_bucket(pdf), schema=out_schema
     )
+    # No static broadcast hint on the matched side: a phrase of common
+    # terms can match an unbounded fraction of the corpus, so forcing
+    # F.broadcast(matched) (the score.py pattern, sound there because
+    # `top` is k rows) could OOM the driver.  AQE's runtime size check
+    # converts this join to broadcast-hash exactly when matched is
+    # actually small — the typical case — without betting on it.
     return matched.join(idx.docmap.select("doc_id", "docno"), "docno").select(
         "doc_id", "docno", "n_occ"
     )
@@ -370,6 +365,8 @@ def proximity_match_indexed(idx, query: str, window: int) -> DataFrame:
     matched = cand.groupBy("bucket").applyInPandas(
         lambda pdf: match_bucket(pdf), schema=out_schema
     )
+    # unbounded matched side: rely on AQE's runtime broadcast, not a
+    # static hint (see phrase_match_indexed)
     return matched.join(idx.docmap.select("doc_id", "docno"), "docno").select(
         "doc_id", "docno", "min_span"
     )
@@ -412,7 +409,10 @@ def phrase_topk(idx, phrase: str, k: int = 10) -> DataFrame:
             ),
         )
         .groupBy("docno", "doc_id", "n_occ")
-        .agg(F.round(F.sum("partial"), 9).alias("score"))
+        # bround (HALF_EVEN), not round (HALF_UP): every other scorer
+        # pins scores with banker's rounding (score.py round(s, 9) /
+        # np.round); HALF_UP here could flip a 9-decimal rank tie
+        .agg(F.bround(F.sum("partial"), 9).alias("score"))
         .orderBy(F.col("score").desc(), F.col("docno").asc())
         .limit(k)
         .select("doc_id", "n_occ", "score")

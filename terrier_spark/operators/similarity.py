@@ -51,12 +51,22 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine similarity. Returns (vec_id, cos) ordered by
-    cos desc, vec_id asc; cos rounded to 1e-9 for a stable tie-break."""
+    cos desc, vec_id asc; cos rounded to 1e-9 for a stable tie-break.
+
+    Zero-norm vectors (cosine undefined; a plain division would THROW
+    under ANSI mode, Spark 4's default, and yield NULL otherwise) are
+    pinned to -Infinity via try_divide+coalesce so they rank LAST
+    deterministically on every config — the same contract as the pandas
+    twin, whose numpy 0/0 would otherwise yield NaN, which Spark orders
+    ABOVE every double and would rank FIRST (review finding r4)."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))
     qcol = F.array(*[F.lit(float(x)) for x in q])
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cos = F.bround(_dot(vec_d, qcol) / (_norm(vec_d) * F.lit(qn)), 9)
+    cos = F.coalesce(
+        F.bround(F.try_divide(_dot(vec_d, qcol), _norm(vec_d) * F.lit(qn)), 9),
+        F.lit(float("-inf")),
+    )
     return (
         df.select(F.col(id_col).alias("vec_id"), cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -72,7 +82,12 @@ def cosine_topk_pandas(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Same as cosine_topk via a numpy matmul Arrow kernel: per input
-    partition emit only its local top-k, then global TakeOrdered."""
+    partition emit only its local top-k, then global TakeOrdered.
+    Zero-norm vectors score -Infinity (rank last) exactly like the JVM
+    twin — a raw numpy 0/0 would yield NaN, which pandas sorts LAST in
+    the local head(k) but Spark's final orderBy ranks FIRST, silently
+    promoting e.g. an all-zeros padding row to rank 1 (review finding
+    r4)."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.sqrt((q * q).sum())
 
@@ -80,14 +95,23 @@ def cosine_topk_pandas(
         best: pd.DataFrame | None = None
         for b in it:
             m = np.stack(b[vec_col].to_numpy()).astype(np.float64)
-            cos = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            denom = np.linalg.norm(m, axis=1) * qn
+            cos = np.divide(
+                m @ q,
+                denom,
+                out=np.full(len(m), -np.inf),
+                where=denom > 0,
+            )
             part = pd.DataFrame({"vec_id": b[id_col], "cos": np.round(cos, 9)})
             best = part if best is None else pd.concat([best, part])
             best = best.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
         if best is not None:
             yield best
 
-    local = df.select(id_col, vec_col).mapInPandas(kernel, schema="vec_id long, cos double")
+    idt = dict(df.dtypes)[id_col]
+    local = df.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"vec_id {idt}, cos double"
+    )
     return local.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
@@ -147,8 +171,9 @@ def ivf_assign(
             yield b
 
     vt = dict(df.dtypes)[vec_col]
+    idt = dict(df.dtypes)[id_col]
     return df.select(id_col, vec_col).mapInPandas(
-        kernel, schema=f"{id_col} long, {vec_col} {vt}, cluster int"
+        kernel, schema=f"{id_col} {idt}, {vec_col} {vt}, cluster int"
     )
 
 
@@ -229,7 +254,12 @@ def embedding_neardup_pairs(
 
     Candidates carry only ids through the bucket join; vectors are
     re-attached for the exact verify afterwards."""
+    idt = dict(df.dtypes)[id_col]
     first = df.select(vec_col).first()
+    if first is None:  # empty input: no pairs, not a TypeError
+        return df.sparkSession.createDataFrame(
+            [], f"id1 {idt}, id2 {idt}, cos double"
+        )
     dim = len(first[vec_col])
     n_planes = bits_per_band * n_bands
     rng = np.random.default_rng(seed)
@@ -257,7 +287,7 @@ def embedding_neardup_pairs(
             )
 
     sig = df.select(id_col, vec_col).mapInPandas(
-        kernel, schema="vec_id long, band int, bkey long"
+        kernel, schema=f"vec_id {idt}, band int, bkey long"
     )
 
     cand = (
@@ -274,7 +304,9 @@ def embedding_neardup_pairs(
 
     v1 = F.transform("v1", lambda x: x.cast("double"))
     v2 = F.transform("v2", lambda x: x.cast("double"))
-    cos = F.bround(_dot(v1, v2) / (_norm(v1) * _norm(v2)), 9)
+    # try_divide: a zero-norm side has undefined cosine — NULL, which
+    # the threshold filter drops (a plain / would throw under ANSI)
+    cos = F.bround(F.try_divide(_dot(v1, v2), _norm(v1) * _norm(v2)), 9)
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)

@@ -197,3 +197,51 @@ def test_cache_false_release_reclaims_snapshot(spark, corpus_sdf, oracle_index):
     assert [r["doc_id"][3:] for r in got] == [d for d, _ in exp]
     idx.release()
     assert all(not os.path.exists(d) for d in idx.scratch_dirs)
+
+
+def test_block_id_unique_across_chunks_and_stable_under_merge(spark):
+    """block_id must be unique within (term, bucket) even when a bucket
+    spans multiple ARROW_SLICE_DOCS encode chunks (review finding r4:
+    the old blocks-within-group counter restarted at 0 per chunk, so a
+    term present in >1 chunk of a bucket emitted duplicate ids), and
+    merge_indexes must keep the id consistent with the rebased
+    bucket/first_docno metadata."""
+    from terrier_spark.corpus import corpus_df
+    from terrier_spark.functions.tokenize import ARROW_SLICE_DOCS
+    from terrier_spark.operators.index_build import build_index, merge_indexes
+
+    span = 2 * ARROW_SLICE_DOCS  # one bucket = two encode chunks
+    docs = corpus_df(spark, 3 * ARROW_SLICE_DOCS).withColumn(
+        "doc_id", F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256)
+    )
+
+    def invariant(blocks):
+        dup = (
+            blocks.groupBy("term", "bucket", "block_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0, "duplicate block_id within (term, bucket)"
+        bad = blocks.filter(
+            F.col("block_id")
+            != F.col("bucket") * 1_000_000 + F.col("first_docno") % 1_000_000
+        ).count()
+        assert bad == 0, "block_id inconsistent with bucket/first_docno"
+
+    idx = build_index(docs, bucket_span=span)
+    # the corpus's ubiquitous terms really do span chunks inside a bucket
+    assert (
+        idx.blocks.groupBy("term", "bucket")
+        .agg(F.sum("n_docs").alias("nd"))
+        .filter(F.col("nd") > ARROW_SLICE_DOCS)
+        .count()
+        > 0
+    )
+    invariant(idx.blocks)
+
+    half = docs.limit(ARROW_SLICE_DOCS)
+    other = docs.subtract(half)
+    a = build_index(half, bucket_span=span)
+    b = build_index(other, bucket_span=span)
+    invariant(merge_indexes(a, b).blocks)

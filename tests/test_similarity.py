@@ -123,3 +123,54 @@ def test_ivf_written_layout_partition_prunes(spark, emb, qvec, tmp_path):
     assert [tuple(r) for r in top.collect()] == [
         tuple(r) for r in unpruned.collect()
     ]
+
+
+def test_zero_norm_vectors_rank_last_on_both_paths(spark):
+    """Zero-norm vectors (cosine undefined) must rank LAST on both the
+    JVM and pandas paths (review finding r4: numpy 0/0 yielded NaN,
+    which pandas sorts last locally but Spark's final orderBy ranks
+    FIRST — an all-zeros padding row silently took rank 1 on the
+    pandas/IVF path while the JVM path ranked it last)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),  # zero norm
+        (3, [0.5, 0.5]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0]
+    jvm = similarity.cosine_topk(df, q, k=4).collect()
+    pnd = similarity.cosine_topk_pandas(df, q, k=4).collect()
+    assert [r["vec_id"] for r in jvm] == [1, 3, 4, 2]
+    assert [r["vec_id"] for r in pnd] == [1, 3, 4, 2]
+    assert jvm[-1]["cos"] == float("-inf") and pnd[-1]["cos"] == float("-inf")
+    # and with k smaller than the corpus the zero vector never displaces
+    # a genuine neighbor — the original failure was at rank 1
+    assert [r["vec_id"] for r in similarity.cosine_topk_pandas(df, q, k=1).collect()] == [1]
+
+
+def test_string_ids_supported_by_pandas_and_ivf_paths(spark):
+    """cosine_topk_pandas / ivf_assign / embedding_neardup_pairs took
+    id_col as a parameter but hardcoded `long` in their Arrow output
+    schemas (review finding r4) — string vec ids crashed at runtime on
+    every path except the JVM one."""
+    rows = [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    got = similarity.cosine_topk_pandas(df, [1.0, 0.0], k=2, id_col="doc_id").collect()
+    assert [r["vec_id"] for r in got] == ["a", "b"]
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    assigned = similarity.ivf_assign(df, cents, id_col="doc_id")
+    assert {r["doc_id"] for r in assigned.collect()} == {"a", "b", "c"}
+    pairs = similarity.embedding_neardup_pairs(
+        df, threshold=0.9, bits_per_band=2, n_bands=8, id_col="doc_id"
+    )
+    assert {(r["id1"], r["id2"]) for r in pairs.collect()} == {("a", "b")}
+
+
+def test_neardup_pairs_empty_input_returns_empty(spark):
+    """embedding_neardup_pairs on an empty frame returns an empty pair
+    set instead of raising TypeError on first() (review finding r4)."""
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.embedding_neardup_pairs(df)
+    assert out.columns == ["id1", "id2", "cos"]
+    assert out.count() == 0
