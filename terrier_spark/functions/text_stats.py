@@ -206,7 +206,12 @@ def winnowing_fingerprints(
             ids: list = []
             fps: list[np.ndarray] = []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
-                t = ws_re.sub(" ", str(txt).lower()).strip()
+                # strip(' ') — ASCII space ONLY, like the SQL twin's
+                # F.trim and the DuckDB oracle's trim(); a bare strip()
+                # also removes Unicode whitespace (NBSP etc.) from the
+                # ends, shifting every k-gram and breaking the pinned
+                # row-for-row identity (review finding r4)
+                t = ws_re.sub(" ", str(txt).lower()).strip(" ")
                 n = len(t)
                 if n < k:
                     continue

@@ -257,13 +257,19 @@ WHERE rn <= 3
 ORDER BY o_custkey, rn
 """
 
+# (epoch_us(ts) // 1000000): FLOOR of the fractional-second epoch,
+# matching Spark's ts.cast('long') truncation — epoch(ts)::BIGINT
+# ROUNDS in DuckDB, so an event with fraction >= .5 got a different
+# epoch second than the engine and a gap near the 1800 s threshold
+# could split a session in one engine only (review finding r4; latent
+# on the seed-42 data, which has no boundary gaps).
 ORACLES["q_sessionize"] = """
 WITH flagged AS (
     SELECT user_id, event_id, ts, value,
-           CASE WHEN epoch(ts)::BIGINT
-                     - lag(epoch(ts)::BIGINT) OVER w IS NULL
-                  OR epoch(ts)::BIGINT
-                     - lag(epoch(ts)::BIGINT) OVER w > 1800
+           CASE WHEN (epoch_us(ts) // 1000000)
+                     - lag(epoch_us(ts) // 1000000) OVER w IS NULL
+                  OR (epoch_us(ts) // 1000000)
+                     - lag(epoch_us(ts) // 1000000) OVER w > 1800
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

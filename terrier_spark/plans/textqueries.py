@@ -60,7 +60,12 @@ _INDEX_CACHE_MAX = 2
 
 
 def _built_index(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a stopped session's object can be
+    # garbage-collected and a NEW session allocated at the same address,
+    # handing the new session an index of dead-context DataFrames
+    # (review finding r4).  applicationId is unique per SparkContext
+    # and shared by sessions that legitimately share the cache.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
             # evict the OLDEST insertion (dict preserves insertion order;
@@ -367,25 +372,45 @@ def emb_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CACHE: dict = {}
+_IVF_CACHE_MAX = 4
+
+
 def _ivf_index(spark: SparkSession, sf_dir: str):
     """Build + write + reload the partitioned IVF layout, so both IVF
     entries execute against the cluster=K hive directories and the
     nprobe filter is a real PartitionFilters prune, not a row filter
-    (VERDICT r2: the pruned layout was documented but never wired)."""
-    from terrier_spark.plans.relational import _scratch_dir
+    (VERDICT r2: the pruned layout was documented but never wired).
 
-    e = load_table(spark, sf_dir, "embeddings")
-    qvec = (
-        e.filter(F.col("vec_id") == KNN_QUERY_VEC_ID)
-        .select("embedding")
-        .collect()[0][0]
-    )
-    cents = similarity.train_centroids(e, n_centroids=8, sample=512)
-    assigned = similarity.ivf_assign(e, cents)
-    path = _scratch_dir(f"ivf_index_{sf_dir.strip('/').replace('/', '_')}")
-    similarity.write_ivf_index(assigned, cents, path)
-    vecs, cents_loaded = similarity.load_ivf_index(spark, path)
-    return vecs, cents_loaded, list(qvec)
+    Memoized per (application, sf_dir), with a UNIQUE write path per
+    build: emb_ivf_topk and emb_ivf_full each used to re-train,
+    re-assign, and re-write the whole layout into the SAME
+    deterministic scratch path with mode('overwrite') — deleting the
+    part files a still-held reader from the other entry lazily scans,
+    and doubling the k-means + write cost per correctness run (review
+    finding r4).  Cache entries hold only lazy readers and a small
+    centroid array, so eviction needs no unpersist."""
+    from terrier_spark.plans.relational import _scratch_dir_uniq
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_CACHE:
+        while len(_IVF_CACHE) >= _IVF_CACHE_MAX:
+            _IVF_CACHE.pop(next(iter(_IVF_CACHE)))
+        e = load_table(spark, sf_dir, "embeddings")
+        qvec = (
+            e.filter(F.col("vec_id") == KNN_QUERY_VEC_ID)
+            .select("embedding")
+            .collect()[0][0]
+        )
+        cents = similarity.train_centroids(e, n_centroids=8, sample=512)
+        assigned = similarity.ivf_assign(e, cents)
+        path = _scratch_dir_uniq(
+            f"ivf_index_{sf_dir.strip('/').replace('/', '_')}"
+        )
+        similarity.write_ivf_index(assigned, cents, path)
+        vecs, cents_loaded = similarity.load_ivf_index(spark, path)
+        _IVF_CACHE[key] = (vecs, cents_loaded, list(qvec))
+    return _IVF_CACHE[key]
 
 
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,9 +103,15 @@ def ingest_batch(
 ) -> int:
     """Build + commit ONE segment from a micro-batch; returns docs
     ingested.  Idempotent per batch_id (crash-replay safe): the segment
-    dir is overwritten and the manifest entry upserted."""
-    n = batch.count()
-    if n == 0:
+    dir is overwritten and the manifest entry upserted.
+
+    No upfront count(): the zero-row gate is isEmpty() (a one-row
+    probe) and the doc count comes from the build itself (idx.num_docs)
+    — a full count() action here re-scanned and re-tokenized every
+    micro-batch source once before build_index scanned it again,
+    doubling per-batch input I/O on the ingest hot path (review
+    finding r4)."""
+    if batch.isEmpty():
         return 0
     seg_name = f"seg_{batch_id:08d}"
     seg_dir = os.path.join(index_dir, seg_name)
@@ -123,6 +129,7 @@ def ingest_batch(
         batch, id_col=id_col, text_col=text_col,
         bucket_span=bucket_span, stem=stem, positions=positions,
     )
+    n = idx.num_docs
     try:
         os.makedirs(seg_dir, exist_ok=True)
         with open(os.path.join(seg_dir, IN_PROGRESS), "w"):
@@ -197,17 +204,29 @@ def ingest_stream(
     return writer.start()
 
 
-def open_live_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
-    """Current queryable index: fold merge_indexes over the manifest
-    (segment-id order, so docnos are segment-major and stable)."""
-    segments = _read_manifest(index_dir)
-    if not segments:
-        raise FileNotFoundError(f"no segments committed under {index_dir}")
+def _fold_segments(
+    spark: SparkSession, index_dir: str, segments: list[dict]
+) -> InvertedIndex:
+    """merge_indexes fold over an EXPLICIT segment list (segment-id
+    order, so docnos are segment-major and stable).  Taking the list as
+    a parameter lets compact() fold exactly the manifest snapshot it
+    computed its max batch_id from — re-reading inside the fold could
+    pick up a segment committed in between, which compact() would then
+    both fold in AND keep in its 'late' list, double-counting the
+    batch's docs (review finding r4)."""
     merged: InvertedIndex | None = None
     for s in segments:
         seg = load_index(spark, os.path.join(index_dir, s["name"]))
         merged = seg if merged is None else merge_indexes(merged, seg)
     return merged
+
+
+def open_live_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
+    """Current queryable index: fold merge_indexes over the manifest."""
+    segments = _read_manifest(index_dir)
+    if not segments:
+        raise FileNotFoundError(f"no segments committed under {index_dir}")
+    return _fold_segments(spark, index_dir, segments)
 
 
 def compact(spark: SparkSession, index_dir: str) -> InvertedIndex:
@@ -219,7 +238,10 @@ def compact(spark: SparkSession, index_dir: str) -> InvertedIndex:
     segments = _read_manifest(index_dir)
     if len(segments) <= 1:
         return open_live_index(spark, index_dir)
-    merged = open_live_index(spark, index_dir)
+    # Fold EXACTLY this snapshot: max_bid below is computed from it, so
+    # a segment the sink commits while we write the fold must stay OUT
+    # of `merged` (it survives via the 'late' list at commit instead).
+    merged = _fold_segments(spark, index_dir, segments)
     max_bid = max(s["batch_id"] for s in segments)
     name = f"seg_{max_bid:08d}_compacted"
     comp_dir = os.path.join(index_dir, name)

@@ -58,11 +58,24 @@ def _sessionize_fn(gap_s: int, emit_open: bool):
         if state.hasTimedOut:
             if state.exists:
                 last_ts, sno, n, val, start = state.get
-                state.remove()
-                yield pd.DataFrame(
-                    [[user_id, sno, n, val, start, last_ts]],
-                    columns=[f.name for f in SESSION_SCHEMA.fields],
-                )
+                if n > 0:
+                    # Flush the open session but KEEP the session
+                    # counter as a tombstone (last_ts=None marks "no
+                    # open session"): state.remove() here restarted the
+                    # user's numbering at 1 on their next event,
+                    # emitting a second, different session under an
+                    # already-used (user_id, session_no) key and
+                    # diverging from the batch numbering (review
+                    # finding r4).  Tombstones are 5 longs per
+                    # ever-seen user — the same bound as any
+                    # dedup-by-key stream; no new timeout is scheduled
+                    # for them, so this branch never re-fires for a
+                    # flushed user.
+                    state.update((None, sno, 0, 0.0, None))
+                    yield pd.DataFrame(
+                        [[user_id, sno, n, val, start, last_ts]],
+                        columns=[f.name for f in SESSION_SCHEMA.fields],
+                    )
             return
         rows = pd.concat(list(pdfs))
         if not len(rows):
@@ -120,18 +133,12 @@ def run_sessionize_over_parquet(
     """availableNow file-stream run of the stateful sessionizer over an
     events parquet; returns collected session rows (closed + the final
     open session per user, since the stream ends)."""
-    import os
-    import shutil
-    import tempfile
+    from terrier_spark.streaming.windows import await_drained, stage_parquet_dir
 
-    if os.path.isfile(parquet_path):
-        staged = tempfile.mkdtemp(prefix="ts_sess_")
-        shutil.copy(parquet_path, os.path.join(staged, os.path.basename(parquet_path)))
-        parquet_path = staged
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(parquet_path)
+        .parquet(stage_parquet_dir(parquet_path, prefix="ts_sess_"))
     )
     out = sessionize_stream(stream, gap_s=gap_s, emit_open=True)
     q = (
@@ -141,5 +148,5 @@ def run_sessionize_over_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_drained(q, 180, query_name)
     return spark.table(query_name)

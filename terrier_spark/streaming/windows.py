@@ -39,25 +39,83 @@ def windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-def run_stream_over_parquet(
-    spark: SparkSession, parquet_path: str, query_name: str = "events_agg"
-) -> DataFrame:
-    """Run the streaming plan over a parquet dir (or a single .parquet
-    file — Spark's streaming file source needs a directory, so a bare
-    file is staged into a temp dir first) via a memory sink; returns the
-    final result as a (batch) DataFrame."""
+def stage_parquet_dir(parquet_path: str, prefix: str = "ts_stream_") -> str:
+    """Spark's streaming file source needs a DIRECTORY: stage a bare
+    .parquet file into a temp dir (pass-through for dirs).  The staged
+    copy is registered for interpreter-exit removal — repeated
+    test/bench runs used to leak one full parquet copy per invocation
+    into TMPDIR (tmpfs RAM under a /dev/shm TMPDIR — review finding
+    r4).  Shared by windows and stateful runners (was copy-pasted)."""
+    import atexit
     import os
     import shutil
     import tempfile
 
-    if os.path.isfile(parquet_path):
-        staged = tempfile.mkdtemp(prefix="ts_stream_")
-        shutil.copy(parquet_path, os.path.join(staged, os.path.basename(parquet_path)))
-        parquet_path = staged
+    if not os.path.isfile(parquet_path):
+        return parquet_path
+    staged = tempfile.mkdtemp(prefix=prefix)
+    shutil.copy(parquet_path, os.path.join(staged, os.path.basename(parquet_path)))
+    atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    return staged
+
+
+def await_drained(q, timeout_s: int, query_name: str) -> None:
+    """Wait until the query has processed EVERY available input row,
+    then return — raising if it is still chewing data at the deadline
+    (review finding r4: the old bare awaitTermination(timeout) ignored
+    its boolean, so a stream still mid-drain yielded a silently partial
+    memory table that was compared as if complete).
+
+    Termination alone is the wrong signal: a stateful availableNow
+    query whose groups registered processing-time timers does NOT
+    terminate after the last input row — Spark busy-loops empty
+    micro-batches (observed ~2/s) until every timer expires, and the
+    sessionizer's timers are gap_s long.  (The old code silently relied
+    on this: awaitTermination(180) expired, the complete table was
+    read, and the spinning query was LEAKED for the rest of the
+    session, burning executor time on 0-row batches.)  So the loop
+    accepts either (a) clean termination, or (b) two consecutive polls
+    whose most recent COMPLETED trigger processed 0 input rows with no
+    data pending — availableNow snapshots its input, so nothing new
+    can arrive — after which the drained query is stopped explicitly.
+    Only a query still chewing input at the deadline raises."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    drained_polls = 0
+    while time.monotonic() < deadline:
+        if q.awaitTermination(2):
+            return
+        lp = q.lastProgress
+        if (
+            lp is not None
+            and lp.get("numInputRows", 1) == 0
+            and not q.status.get("isDataAvailable", True)
+        ):
+            drained_polls += 1
+            if drained_polls >= 2:
+                q.stop()
+                q.awaitTermination(30)
+                return
+        else:
+            drained_polls = 0
+    q.stop()
+    raise TimeoutError(
+        f"stream {query_name!r} did not drain within {timeout_s}s; "
+        "partial results discarded"
+    )
+
+
+def run_stream_over_parquet(
+    spark: SparkSession, parquet_path: str, query_name: str = "events_agg"
+) -> DataFrame:
+    """Run the streaming plan over a parquet dir (or a single .parquet
+    file, staged via stage_parquet_dir) with a memory sink; returns the
+    final result as a (batch) DataFrame."""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(parquet_path)
+        .parquet(stage_parquet_dir(parquet_path))
     )
     agg = windowed_agg(stream)
     q = (
@@ -67,5 +125,5 @@ def run_stream_over_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drained(q, 120, query_name)
     return spark.table(query_name)

@@ -106,3 +106,18 @@ def test_kernel_ascii_whitespace_matches_sql_shape(spark):
     fp1 = {fp for d, fp in tight(df) if d == 1}
     fp2 = {fp for d, fp in tight(df) if d == 2}
     assert fp1 != fp2
+
+
+def test_unicode_whitespace_edges_kernel_equals_sql_shape(spark):
+    """Text with non-ASCII whitespace (NBSP) at the EDGES: the Arrow
+    kernel used Python str.strip(), which removes Unicode whitespace,
+    while the SQL twin's F.trim (and the DuckDB oracle's trim) strip
+    ASCII spaces only — shifting every k-gram and emitting disjoint
+    fingerprint sets (review finding r4).  Both paths must agree
+    row-for-row."""
+    rows = [
+        (1, "\xa0the quick brown fox jumps over the lazy dog\xa0"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert _fps(df, "arrow") == _fps(df, "sql_shape")

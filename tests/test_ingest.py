@@ -312,3 +312,30 @@ def test_vacuum_recheck_spares_segment_committed_mid_scan(spark, dirs, monkeypat
     assert calls["n"] >= 2  # the locked re-check actually ran
     assert os.path.isdir(seg)
     assert ingest.open_live_index(spark, dirs["idx"]).num_docs == 10
+
+
+def test_compact_folds_exactly_its_manifest_snapshot(spark, dirs, monkeypatch):
+    """A segment committed AFTER compact() snapshots the manifest but
+    BEFORE the fold completes must appear exactly once in the final
+    index (review finding r4: the fold used to re-read the manifest via
+    open_live_index, pulling the late segment into the compacted blob
+    AND keeping it in the 'late' list — its docs counted twice)."""
+    ingest.ingest_batch(_tiny(spark, 0, 10), 0, dirs["idx"], bucket_span=SPAN)
+    ingest.ingest_batch(_tiny(spark, 10, 20), 1, dirs["idx"], bucket_span=SPAN)
+
+    real_fold = ingest._fold_segments
+
+    def fold_with_concurrent_commit(spark_, index_dir, segments):
+        # the sink commits batch 2 after the snapshot, during the fold
+        ingest.ingest_batch(
+            _tiny(spark_, 20, 30), 2, index_dir, bucket_span=SPAN
+        )
+        return real_fold(spark_, index_dir, segments)
+
+    monkeypatch.setattr(ingest, "_fold_segments", fold_with_concurrent_commit)
+    ingest.compact(spark, dirs["idx"])
+    monkeypatch.setattr(ingest, "_fold_segments", real_fold)
+    live = ingest.open_live_index(spark, dirs["idx"])
+    assert live.num_docs == 30  # double-count would give 40
+    # and the late segment's docs are queryable exactly once
+    assert live.docmap.count() == 30

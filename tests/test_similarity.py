@@ -174,3 +174,15 @@ def test_neardup_pairs_empty_input_returns_empty(spark):
     out = similarity.embedding_neardup_pairs(df)
     assert out.columns == ["id1", "id2", "cos"]
     assert out.count() == 0
+
+
+def test_ivf_entry_layout_memoized(spark):
+    """_ivf_index trains/writes the partitioned layout ONCE per
+    (application, sf_dir): emb_ivf_topk and emb_ivf_full used to each
+    rebuild it into the same overwritten path, invalidating the other
+    entry's lazily-scanned files (review finding r4)."""
+    from terrier_spark.plans import textqueries as T
+
+    a = T._ivf_index(spark, SF_DIR)
+    b = T._ivf_index(spark, SF_DIR)
+    assert a is b
