@@ -129,7 +129,7 @@ def main() -> None:
 
     # Index-build throughput on the north-rule corpus shape
     # (repo/path/commit/lang/content, 50-2000 tokens per doc).
-    from terrier_spark.corpus import corpus_df, doc_id_of
+    from terrier_spark.corpus import corpus_df
     from terrier_spark.operators.index_build import build_index
 
     from pyspark.sql import functions as F
@@ -165,7 +165,13 @@ def main() -> None:
         bm25_topk, bm25_topk_blocks, bm25_topk_exploded,
     )
 
-    idx.postings.persist().count()
+    # Only blocks are cached: every scorer routes through _term_postings,
+    # which decodes postings_from_blocks(blocks.filter(term IN ...)) — the
+    # cached blocks table IS a subtree of that plan, while a cached FULL
+    # exploded postings table never matches it (the filter sits under the
+    # decode).  The old idx.postings.persist().count() eagerly decoded
+    # ~2M rows nothing ever read and pressured executor memory through
+    # every timed query (review finding r4).
     idx.blocks.persist().count()
     queries = ["int return", "foo_bar baz", "template namespace std", "func defer chan", "idx ptr val buf"]
     # warm the path once: fills the per-index driver lexicon cache and

@@ -8,7 +8,6 @@ Usage: python scripts/parity_check.py [sf_dir] [only_query ...]
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
@@ -45,11 +44,12 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
             bad = [
                 i
                 for i, (x, y) in enumerate(zip(av, bv))
-                if not (
-                    (pd.isna(x) and pd.isna(y))
-                    or (x == y)
-                    or (isinstance(x, float) and isinstance(y, float) and math.isclose(x, y, rel_tol=0, abs_tol=0))
-                )
+                # exact equality by design: the engine brounds every
+                # float to 9 decimals and the oracle rounds identically,
+                # so any residual drift is a bug to surface (an earlier
+                # isclose(rel_tol=0, abs_tol=0) clause here was exactly
+                # == and misleadingly suggested a tolerance)
+                if not ((pd.isna(x) and pd.isna(y)) or (x == y))
             ]
             if bad:
                 i = bad[0]

@@ -131,18 +131,12 @@ def _pkg_zip(repo_root: str) -> str:
 def run_level(corpus: str, workers: int, cores: int, repo_root: str) -> dict:
     total = workers * cores
     elog = tempfile.mkdtemp(prefix=f"ts_elog_c{workers}x{cores}_")
-    env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_LOCAL_DIR", f"/dev/shm/spark-tmp-{os.getuid()}")
-    try:
-        allowed = sorted(os.sched_getaffinity(0))
-    except AttributeError:
-        allowed = list(range(os.cpu_count() or total))
-    chosen = allowed[-total:] if len(allowed) >= total else allowed
-    pin = (
-        [shutil.which("taskset"), "-c", ",".join(map(str, chosen))]
-        if shutil.which("taskset") and chosen
-        else []
-    )
+    # tmpfs shuffle dir + top-of-range taskset pin (shared protocol —
+    # rationale in terrier_spark/benchenv.py; this copy used to lack
+    # the /dev/shm guard the cli harness documents as required)
+    from terrier_spark.benchenv import pinned_child_env
+
+    pin, env, chosen = pinned_child_env(total)
     load1 = float(open("/proc/loadavg").read().split()[0])
     s0 = _cpu_snap()
     pc0 = _percpu_busy()

@@ -81,29 +81,28 @@ def parse_log(elog_dir: str, group: str = "measured", detail: bool = False) -> d
             with open(fp) as f:
                 yield from f
 
-    if True:
-        for line in _lines():
-            try:
-                ev = json.loads(line)
-            except Exception:
-                continue
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                props = ev.get("Properties") or {}
-                if props.get("spark.jobGroup.id") == group:
-                    for si in ev.get("Stage Infos", []):
-                        measured_stages.add(si["Stage ID"])
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sub, comp = si.get("Submission Time"), si.get("Completion Time")
-                if sub and comp:
-                    stage_wall[si["Stage ID"]] = comp - sub
-            elif e == "SparkListenerTaskEnd":
-                sid = ev.get("Stage ID")
-                m = ev.get("Task Metrics") or {}
-                stage_task_ms[sid] = stage_task_ms.get(sid, 0) + (
-                    m.get("Executor Run Time", 0) or 0
-                )
+    for line in _lines():
+        try:
+            ev = json.loads(line)
+        except Exception:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            props = ev.get("Properties") or {}
+            if props.get("spark.jobGroup.id") == group:
+                for si in ev.get("Stage Infos", []):
+                    measured_stages.add(si["Stage ID"])
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sub, comp = si.get("Submission Time"), si.get("Completion Time")
+            if sub and comp:
+                stage_wall[si["Stage ID"]] = comp - sub
+        elif e == "SparkListenerTaskEnd":
+            sid = ev.get("Stage ID")
+            m = ev.get("Task Metrics") or {}
+            stage_task_ms[sid] = stage_task_ms.get(sid, 0) + (
+                m.get("Executor Run Time", 0) or 0
+            )
     mids = measured_stages & set(stage_wall)
     out = {
         "n_measured_stages": len(mids),
@@ -153,23 +152,11 @@ def main() -> None:
     results = []
     for c in levels:
         elog = tempfile.mkdtemp(prefix=f"ts_elog_{c}_")
-        env = dict(os.environ)
-        env.setdefault("SPARK_GRAFT_LOCAL_DIR", f"/dev/shm/spark-tmp-{os.getuid()}")
-        # Pin to the TOP of the ALLOWED cpu set: measured on this host,
-        # low vcpus carry ~6x the hypervisor steal of high ones
-        # (neighbor VMs are packed low) — 8.4% vs 1.5% during identical
-        # runs.  sched_getaffinity (not cpu_count) so cpuset-restricted
-        # environments can't make taskset EINVAL.
-        try:
-            allowed = sorted(os.sched_getaffinity(0))
-        except AttributeError:
-            allowed = list(range(os.cpu_count() or c))
-        chosen = allowed[-c:] if len(allowed) >= c else allowed
-        pin = (
-            [shutil.which("taskset"), "-c", ",".join(map(str, chosen))]
-            if shutil.which("taskset") and chosen
-            else []
-        )
+        # tmpfs shuffle dir + top-of-range taskset pin (shared
+        # protocol — rationale in terrier_spark/benchenv.py)
+        from terrier_spark.benchenv import pinned_child_env
+
+        pin, env, chosen = pinned_child_env(c)
         load1 = float(open("/proc/loadavg").read().split()[0])
         s0 = _cpu_snap()
         pc0 = _percpu_busy()

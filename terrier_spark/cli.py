@@ -2,10 +2,13 @@
 --py-files on a multi-executor cluster at two cluster sizes").
 
 Usage (plain python or spark-submit — under spark-submit set
-SPARK_GRAFT_MASTER or pass --master and the session respects it):
+SPARK_GRAFT_MASTER or pass --master and the session respects it;
+spark-submit takes a SCRIPT path as its primary resource, not -m, so
+hand it this file):
 
   # build (resumable) and write an index
-  spark-submit --py-files terrier_spark.zip -m terrier_spark.cli ...
+  spark-submit --master spark://host:7077 --py-files terrier_spark.zip \
+      terrier_spark/cli.py build-index --n-docs 20000 --out /tmp/idx
   python -m terrier_spark.cli build-index --n-docs 20000 --out /tmp/idx
   python -m terrier_spark.cli query --index /tmp/idx --query "int return" -k 10
   python -m terrier_spark.cli bench --n-docs 20000 --cores 8,32
@@ -68,6 +71,10 @@ def cmd_build_index(args) -> None:
             positions=args.positions,
         )
         w.blocks.count()
+        # release the warm-up caches before timing: the warm index's
+        # persisted blocks/docmap/lexicon otherwise stay pinned in
+        # executor memory through every timed rep (review finding r4)
+        w.release()
     times = []
     idx = None
     for _ in range(max(args.reps, 1)):
@@ -154,45 +161,28 @@ def cmd_bench(args) -> None:
     import tempfile
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    corpus_dir = os.path.join(tempfile.mkdtemp(prefix="ts_bench_"), "corpus")
+    staged = tempfile.mkdtemp(prefix="ts_bench_")
+    # reclaim the generated corpus at exit: each bench run wrote a full
+    # n-docs parquet into a fresh mkdtemp and left it there (tmpfs RAM
+    # under a /dev/shm TMPDIR — review finding r4)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    corpus_dir = os.path.join(staged, "corpus")
     subprocess.run(
         [sys.executable, "-m", "terrier_spark.cli", "gen-corpus",
          "--n-docs", str(args.n_docs), "--out", corpus_dir],
         check=True, capture_output=True, text=True, cwd=repo_root,
     )
-    import shutil as _shutil
+    from terrier_spark.benchenv import pinned_child_env
 
-    taskset = _shutil.which("taskset")
     for rep in range(max(args.reps, 1)):
         for c in levels:
-            env = dict(os.environ)
+            # tmpfs shuffle dir + top-of-range taskset pin (shared
+            # protocol — rationale in terrier_spark/benchenv.py)
+            pin, env, chosen = pinned_child_env(c)
             env["SPARK_GRAFT_CPUS"] = str(c)
-            # tmpfs shuffle dir only where /dev/shm exists (same guard
-            # as bench.py — macOS / minimal containers lack it, and an
-            # uncreatable spark.local.dir fails session startup).
-            if os.path.isdir("/dev/shm"):
-                env.setdefault(
-                    "SPARK_GRAFT_LOCAL_DIR", f"/dev/shm/spark-tmp-{os.getuid()}"
-                )
-            # Pin the WHOLE process tree (JVM + Python workers) to c
-            # CPUs: local[c] only caps JVM task slots — Python workers
-            # run outside it, so an unpinned "local[2]" silently uses
-            # ~2x the CPUs and corrupts the N-vs-4N comparison.  A real
-            # c-core executor confines python workers the same way.
-            # Pin to the TOP of the ALLOWED cpu set: low vcpus on this
-            # host carry ~6x the hypervisor steal (BENCH/BASELINE.md
-            # §2); sched_getaffinity (not cpu_count) so a cpuset-
-            # restricted environment can't make taskset EINVAL.
-            try:
-                allowed = sorted(os.sched_getaffinity(0))
-            except AttributeError:  # non-Linux
-                allowed = list(range(os.cpu_count() or c))
-            chosen = allowed[-c:] if len(allowed) >= c else allowed
-            pin = (
-                [taskset, "-c", ",".join(map(str, chosen))]
-                if taskset and chosen
-                else []
-            )
             p = subprocess.run(
                 pin
                 + [

@@ -206,12 +206,18 @@ def winnowing_fingerprints(
             ids: list = []
             fps: list[np.ndarray] = []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
+                # NULL text emits nothing, like the SQL twin (every
+                # JVM string fn propagates NULL and the length>=k gate
+                # drops the row) — str(None) would hash the literal
+                # 'none' and fingerprint a null doc (review finding r4)
+                if txt is None or not isinstance(txt, str):
+                    continue
                 # strip(' ') — ASCII space ONLY, like the SQL twin's
                 # F.trim and the DuckDB oracle's trim(); a bare strip()
                 # also removes Unicode whitespace (NBSP etc.) from the
                 # ends, shifting every k-gram and breaking the pinned
                 # row-for-row identity (review finding r4)
-                t = ws_re.sub(" ", str(txt).lower()).strip(" ")
+                t = ws_re.sub(" ", txt.lower()).strip(" ")
                 n = len(t)
                 if n < k:
                     continue

@@ -39,12 +39,29 @@ def get_spark(
         # ~1 partition per core locally; on a cluster: 2-3x total cores.
         shuffle_partitions = max(cores, 8)
 
-    # Under spark-submit (cluster or client mode), --master wins; the
-    # local[] default only applies when launched as a plain python script.
-    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    builder = SparkSession.builder.appName(app_name)
+    # Master resolution, in priority order: SPARK_GRAFT_MASTER (explicit
+    # override) > spark-submit's --master (arrives as the spark.master
+    # system property, visible through a default-loaded SparkConf) >
+    # local[cores].  The old code ALWAYS called builder.master(), and
+    # builder options outrank spark-submit's conf — so a cluster submit
+    # silently ran local-mode on the driver, contradicting the
+    # "--master wins" contract this module and cli.py document (review
+    # finding r4).
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        try:
+            from pyspark import SparkConf
+
+            submitted = SparkConf(loadDefaults=True).contains("spark.master")
+        except Exception:
+            submitted = False
+        if not submitted:
+            master = f"local[{cores}]"
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

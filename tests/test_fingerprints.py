@@ -121,3 +121,14 @@ def test_unicode_whitespace_edges_kernel_equals_sql_shape(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert _fps(df, "arrow") == _fps(df, "sql_shape")
+
+
+def test_null_text_emits_no_fingerprints(spark):
+    """NULL text rows emit nothing on BOTH paths (review finding r4:
+    the Arrow kernel's str(txt) hashed the literal 'none' for SQL-NULL
+    text, fingerprinting a null doc the SQL twin drops)."""
+    rows = [(1, None), (2, "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a, b = _fps(df, "arrow"), _fps(df, "sql_shape")
+    assert a == b
+    assert 1 not in a and 2 in a
