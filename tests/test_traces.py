@@ -11,7 +11,11 @@ query over snapshotted views; results diffed as canonicalized
 multisets) and the documented dialect skip list.
 
 Gate per trace: ZERO failures, and a pinned minimum pass count so the
-corpus can't silently shrink to skips."""
+corpus can't silently shrink to skips.
+
+With test_catalog_trace_analog (catalog.test, replayed against Spark's
+own catalog because it introspects pg_attribute), all 13 trace files in
+the reference corpus are covered."""
 
 import os
 
@@ -131,3 +135,106 @@ def test_order_spec_and_sortedness():
 
     dfd = pd.DataFrame({"a": [Decimal("9.5"), Decimal("10.5")]})
     assert _is_ordered(dfd, [(0, False, None)], True)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(TRACE_DIR), reason="reference trace corpus not present"
+)
+def test_catalog_trace_analog(spark):
+    """Replay catalog.test — the one trace the cross-engine harness
+    can't run (it introspects pg_attribute/pg_class, and DuckDB's
+    pg_attribute compat normalizes VARCHAR(n) to typmod -1, so it can't
+    oracle the n=55 case).  The semantic under test is: declared
+    column-length metadata is observable through the CATALOG after
+    CREATE TABLE (-1 for bare VARCHAR, n for VARCHAR(n)) and DROP
+    removes the table.  Spark's catalog records the declared type in
+    the __CHAR_VARCHAR_TYPE_STRING field-metadata key; the typmod
+    analog reads it.  Expected values come from the trace file itself
+    (its inline sqllogictest golden results), not from this test."""
+    import re
+
+    path = os.path.join(TRACE_DIR, "catalog.test")
+    lines = open(path).read().splitlines()
+    records = []  # ("statement", sql) | ("query", relname, [expected ints])
+    i, n = 0, len(lines)
+    while i < n:
+        s = lines[i].strip()
+        if not s or s.startswith("#"):
+            i += 1
+            continue
+        if s.startswith("statement"):
+            i += 1
+            sql = []
+            while i < n and lines[i].strip():
+                sql.append(lines[i].strip())
+                i += 1
+            records.append(("statement", " ".join(sql)))
+        elif s.startswith("query"):
+            i += 1
+            sql = []
+            while i < n and lines[i].strip() != "----":
+                sql.append(lines[i].strip())
+                i += 1
+            i += 1  # skip ----
+            exp = []
+            while i < n and lines[i].strip():
+                exp.append(int(lines[i].strip()))
+                i += 1
+            m = re.search(r"relname\s*=\s*'(\w+)'", " ".join(sql))
+            assert m, f"unrecognized catalog query: {' '.join(sql)}"
+            records.append(("query", m.group(1), exp))
+        else:
+            i += 1
+    # the trace must contain both the -1 and the 55 case, else the
+    # replay silently degenerates
+    queries = [r for r in records if r[0] == "query"]
+    assert len(queries) == 2 and [q[2] for q in queries] == [[-1], [55]]
+
+    def typmods(table):
+        # qualify: earlier trace replays leave TEMP views (e.g. `t`)
+        # that would shadow the session-catalog table here
+        out = []
+        for f in spark.table(f"default.{table}").schema.fields:
+            m = re.fullmatch(
+                r"varchar\((\d+)\)",
+                f.metadata.get("__CHAR_VARCHAR_TYPE_STRING", ""),
+            )
+            out.append(int(m.group(1)) if m else -1)
+        return out
+
+    created = set()
+    try:
+        for rec in records:
+            if rec[0] == "statement":
+                sql = rec[1].rstrip(";")
+                # qualify the DDL: other trace tests leave TEMP views
+                # (e.g. `t`) that an unqualified name would resolve to —
+                # DROP TABLE t would drop the view, not our table
+                cm = re.match(r"CREATE\s+TABLE\s+(\w+)", sql, re.I)
+                dm = re.match(r"DROP\s+TABLE\s+(\w+)", sql, re.I)
+                if cm:
+                    # dialect: Postgres bare VARCHAR is unlimited-length
+                    # (typmod -1) — Spark spells that STRING and reserves
+                    # VARCHAR for the parameterized form
+                    sql = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", sql, flags=re.I)
+                    sql = re.sub(
+                        r"^CREATE\s+TABLE\s+", "CREATE TABLE default.", sql, flags=re.I
+                    )
+                    # Spark needs an explicit provider for session-catalog
+                    # tables; the trace's implicit heap is parquet here
+                    spark.sql(f"{sql} USING parquet")
+                    created.add(cm.group(1))
+                elif dm:
+                    spark.sql(f"DROP TABLE default.{dm.group(1)}")
+                    created.discard(dm.group(1))
+                    # the DROP semantics the trace relies on: the
+                    # relation disappears from the catalog
+                    assert not spark.catalog.tableExists(f"default.{dm.group(1)}")
+                else:
+                    spark.sql(sql)
+            else:
+                _, relname, exp = rec
+                assert typmods(relname) == exp
+    finally:
+        for t in created:
+            spark.sql(f"DROP TABLE IF EXISTS default.{t}")
