@@ -189,3 +189,61 @@ def test_metadata_filter_prunes_before_decode(spark, media):
     assert 0 < n < 20
     out = M.decode_media_features(pruned)
     assert out.count() == n
+
+
+# ---------- property tests (hypothesis) ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**62),
+    h=st.integers(min_value=1, max_value=64),
+    w=st.integers(min_value=1, max_value=64),
+    c=st.sampled_from([1, 3, 4]),
+)
+def test_image_roundtrip_property(seed, h, w, c):
+    img = M.decode_image_bytes(M.synth_image_bytes(seed, h, w, c))
+    assert img.shape == (h, w, c)
+    # decode is a pure parse: re-encoding the decoded pixels gives the
+    # original payload back
+    import struct as _s
+
+    re_enc = M.MAGIC_IMG + _s.pack("<HHB", h, w, c) + img.tobytes()
+    assert re_enc == M.synth_image_bytes(seed, h, w, c)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=32),
+    w=st.integers(min_value=1, max_value=32),
+    oh=st.integers(min_value=1, max_value=48),
+    ow=st.integers(min_value=1, max_value=48),
+)
+def test_resize_nearest_property(h, w, oh, ow):
+    img = M.decode_image_bytes(M.synth_image_bytes(1, h, w, 3))
+    r = M.resize_nearest(img, oh, ow)
+    assert r.shape == (oh, ow, 3)
+    # every output pixel is an exact input pixel at the floor-sampled
+    # index — nearest-neighbor never invents values
+    rows = (np.arange(oh) * h // oh)
+    cols = (np.arange(ow) * w // ow)
+    assert (r == img[rows[:, None], cols[None, :]]).all()
+    # identity resize is a no-op
+    assert (M.resize_nearest(img, h, w) == img).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=20),
+    stride=st.integers(min_value=1, max_value=8),
+)
+def test_sample_frames_property(n, stride):
+    vid = M.decode_video_bytes(M.synth_video_bytes(2, n, 4, 4, 3))
+    s = M.sample_frames(vid, stride)
+    # ceil(n / stride) frames, each an exact original frame
+    assert s.shape[0] == -(-n // stride)
+    for j in range(s.shape[0]):
+        assert (s[j] == vid[j * stride]).all()
