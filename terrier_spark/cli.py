@@ -87,7 +87,10 @@ def cmd_build_index(args) -> None:
             positions=args.positions,
         )
         if args.out:
-            write_index(idx, args.out)
+            # Persisted builds always carry the content-sha sidecar
+            # (operators/integrity.py): the north rule's per-row
+            # sha256 invariant is enforced on every CLI-written index.
+            write_index(idx, args.out, fingerprint_docs=docs)
         else:
             idx.lexicon.count()
             idx.blocks.count()

@@ -12,4 +12,5 @@ similarity   — embedding cosine top-k (brute force + IVF + LSH)
 sketch       — ANALYZE statistics (heavy hitters, histograms, HLL, CMS)
 salting      — explicit skew handling (salted agg, hot-key join)
 checkpoint   — per-partition build manifest, resume, lineage
+integrity    — per-row content-sha256 fingerprints, sidecar, verification
 """

@@ -39,6 +39,13 @@ class ShardRecord:
     out_path: str
     engine_version: str
     finished_at_unix: int
+    # Order-independent XOR of per-row sha256(content), 64 hex chars
+    # (operators/integrity.py) — the engine-portable audit record for
+    # the north rule's content-sha256 invariant.  The xxhash64
+    # input_fingerprint gates resume (cheaper); this digest lets any
+    # OTHER engine re-derive and compare the shard's content set.
+    # Default "" keeps pre-r4 manifests readable.
+    content_sha_digest: str = ""
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -65,24 +72,38 @@ def _append_manifest(out_dir: str, rec: ShardRecord) -> None:
 
 def _all_shard_fingerprints(
     docs: DataFrame, id_col: str, text_col: str, n_shards: int
-) -> dict[int, tuple[int, str]]:
-    """shard → (row_count, hex fingerprint) for EVERY shard in ONE
-    distributed pass (grouped count + bit_xor of per-row xxhash64 —
-    order/partitioning-invariant).  Empty shards get (0, '0'*16)."""
+) -> dict[int, tuple[int, str, str]]:
+    """shard → (row_count, hex fingerprint, content-sha digest) for
+    EVERY shard in ONE distributed pass (grouped count + bit_xor of
+    per-row xxhash64, plus the 8×32-bit XOR fold of per-row
+    sha256(content) — all order/partitioning-invariant).  Empty shards
+    get (0, '0'*16, '0'*64)."""
     shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    sha = F.sha2(F.col(text_col), 256)
+    sha_words = [
+        F.bit_xor(F.conv(F.substring(sha, 1 + 8 * i, 8), 16, 10).cast("long")).alias(
+            f"w{i}"
+        )
+        for i in range(8)
+    ]
     rows = (
         docs.groupBy(shard_col.alias("shard"))
         .agg(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("fp"),
+            *sha_words,
         )
         .collect()
     )
-    out = {s: (0, "0" * 16) for s in range(n_shards)}
+    out = {s: (0, "0" * 16, "0" * 64) for s in range(n_shards)}
     for r in rows:
+        digest = "".join(
+            format(int(r[f"w{i}"] or 0) & 0xFFFFFFFF, "08x") for i in range(8)
+        )
         out[int(r["shard"])] = (
             int(r["n"]),
             format((r["fp"] or 0) & 0xFFFFFFFFFFFFFFFF, "016x"),
+            digest,
         )
     return out
 
@@ -131,7 +152,7 @@ def build_postings_checkpointed(
 
     pending: list[int] = []
     for s in range(n_shards):
-        n_rows, fp = fps[s]
+        n_rows, fp, _sha = fps[s]
         prev = manifest.get(s)
         if (
             resume
@@ -200,7 +221,7 @@ def build_postings_checkpointed(
                 counts[int(r["shard"])] = int(r["n"])
         wall_ms = int((time.monotonic() - t0) * 1000)
         for s in build_set:
-            n_rows, fp = fps[s]
+            n_rows, fp, sha_digest = fps[s]
             _append_manifest(
                 out_dir,
                 ShardRecord(
@@ -213,11 +234,12 @@ def build_postings_checkpointed(
                     out_path=os.path.join(out_dir, f"shard={s}"),
                     engine_version=terrier_spark.__version__,
                     finished_at_unix=int(time.time()),
+                    content_sha_digest=sha_digest,
                 ),
             )
 
     if fail_on_shard is not None and fail_on_shard in pending:
-        n_rows, fp = fps[fail_on_shard]
+        n_rows, fp, sha_digest = fps[fail_on_shard]
         _append_manifest(
             out_dir,
             ShardRecord(
@@ -230,6 +252,7 @@ def build_postings_checkpointed(
                 out_path=os.path.join(out_dir, f"shard={fail_on_shard}"),
                 engine_version=terrier_spark.__version__,
                 finished_at_unix=int(time.time()),
+                content_sha_digest=sha_digest,
             ),
         )
         raise RuntimeError(f"injected failure on shard {fail_on_shard}")
@@ -253,6 +276,7 @@ def lineage_df(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "shard int, status string, n_rows long, input_fingerprint string, "
                 "n_postings long, wall_ms long, out_path string, "
-                "engine_version string, finished_at_unix long"
+                "engine_version string, finished_at_unix long, "
+                "content_sha_digest string"
         )
     return spark.createDataFrame(recs)

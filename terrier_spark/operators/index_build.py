@@ -1241,12 +1241,24 @@ def merge_indexes(a: InvertedIndex, b: InvertedIndex) -> InvertedIndex:
     )
 
 
-def write_index(index: InvertedIndex, out_dir: str) -> None:
+def write_index(
+    index: InvertedIndex,
+    out_dir: str,
+    fingerprint_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> None:
     """Persist index tables as parquet, partitioned for the query path.
 
     Blocks are partitioned by bucket so a query's doc-range tasks read
     co-located data; at cluster scale this would be an Iceberg table with
     bucket partitioning on term for pointed term lookups.
+
+    ``fingerprint_docs``: pass the SOURCE corpus frame to also persist a
+    per-row sha256(content) sidecar (operators/integrity.py) — the
+    north-rule end-to-end content-equality invariant; any later holder
+    of the written index can verify_index_content() against a fresh
+    read of the source.
     """
     import json
     import os
@@ -1267,6 +1279,13 @@ def write_index(index: InvertedIndex, out_dir: str) -> None:
                 "docno_limit": index.docno_limit,
             },
             f,
+        )
+    if fingerprint_docs is not None:
+        from terrier_spark.operators import integrity
+
+        integrity.write_fingerprints(
+            integrity.content_fingerprints(fingerprint_docs, id_col, text_col),
+            out_dir,
         )
 
 

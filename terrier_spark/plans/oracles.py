@@ -774,9 +774,11 @@ SELECT doc_id,
        round( least(n_tokens / 100.0, 1.0) * 0.4
             + least(stop_raw * 4.0, 1.0) * 0.3
             + (1.0 - least(punct_raw * 5.0, 1.0)) * 0.3, 9)::DOUBLE AS quality_score,
-       lid.lang_guess
+       lid.lang_guess,
+       sha.content_sha
 FROM feat JOIN tok_counts tc USING (doc_id)
 JOIN ({{langid_body}}) lid USING (doc_id)
+JOIN (SELECT doc_id, sha256(text) AS content_sha FROM documents) sha USING (doc_id)
 ORDER BY doc_id
 """
 

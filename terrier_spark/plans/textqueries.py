@@ -247,11 +247,21 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality features (length / punctuation / stopword ratios and
     the composite quality score) and the n-gram language guess on
     doc_id — every column of the three original entries is still
-    hash-verified."""
+    hash-verified.
+
+    ``content_sha`` carries the north rule's per-row content-sha256
+    invariant through the driver's oracle gate: Spark's sha2() and
+    DuckDB's sha256() hash the same UTF-8 bytes, so a hash_match on
+    this entry IS per-row content equality between engines
+    (operators/integrity.py is the index-side enforcement)."""
+    sha = _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+    )
     return (
         text_token_counts(spark, sf_dir)
         .join(text_quality(spark, sf_dir), "doc_id")
         .join(text_langid(spark, sf_dir), "doc_id")
+        .join(sha, "doc_id")
         .orderBy("doc_id")
     )
 

@@ -134,7 +134,12 @@ def ingest_batch(
         os.makedirs(seg_dir, exist_ok=True)
         with open(os.path.join(seg_dir, IN_PROGRESS), "w"):
             pass
-        write_index(idx, seg_dir)
+        # Each segment carries its content-sha sidecar, so the north
+        # rule's per-row sha256 invariant holds on the STREAMING build
+        # path too — verify_live_content() unions them per manifest.
+        write_index(
+            idx, seg_dir, fingerprint_docs=batch, id_col=id_col, text_col=text_col
+        )
     finally:
         for h in (idx.blocks, idx.lexicon, idx.docmap):
             if h is not None:
@@ -229,6 +234,45 @@ def open_live_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
     return _fold_segments(spark, index_dir, segments)
 
 
+def live_fingerprints(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(doc_id, content_sha) for every doc in the live index: the union
+    of the committed segments' sidecars (operators/integrity.py).
+    Raises if any committed segment was written without one."""
+    from terrier_spark.operators import integrity
+
+    segments = _read_manifest(index_dir)
+    if not segments:
+        raise FileNotFoundError(f"no segments committed under {index_dir}")
+    parts = []
+    for s in segments:
+        seg_dir = os.path.join(index_dir, s["name"])
+        if not integrity.has_fingerprints(seg_dir):
+            raise FileNotFoundError(f"segment {s['name']} has no content_sha sidecar")
+        parts.append(integrity.read_fingerprints(spark, seg_dir))
+    fps = parts[0]
+    for part in parts[1:]:
+        fps = fps.unionByName(part)
+    return fps
+
+
+def verify_live_content(
+    spark: SparkSession,
+    index_dir: str,
+    source: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """End-to-end content-sha256 enforcement for a STREAM-built index:
+    per-row violations (MISSING/EXTRA/MISMATCH) between the current
+    source rows and the fingerprints captured at ingest time.  Empty
+    result = the invariant holds across every committed segment."""
+    from terrier_spark.operators import integrity
+
+    return integrity.verify_content(
+        source, live_fingerprints(spark, index_dir), id_col, text_col
+    )
+
+
 def compact(spark: SparkSession, index_dir: str) -> InvertedIndex:
     """Fold all segments into one materialized segment and swap the
     manifest — Lucene-style segment merge as an explicit maintenance
@@ -249,6 +293,22 @@ def compact(spark: SparkSession, index_dir: str) -> InvertedIndex:
     with open(os.path.join(comp_dir, IN_PROGRESS), "w"):
         pass
     write_index(merged, comp_dir)
+    # Fold the per-segment content-sha sidecars with the postings: the
+    # compacted segment's sidecar is the union of its inputs', so the
+    # end-to-end invariant survives compaction without re-reading any
+    # source content (the shas were computed once, at ingest).
+    from terrier_spark.operators import integrity
+
+    fp_parts = [
+        integrity.read_fingerprints(spark, os.path.join(index_dir, s["name"]))
+        for s in segments
+        if integrity.has_fingerprints(os.path.join(index_dir, s["name"]))
+    ]
+    if len(fp_parts) == len(segments):
+        fps = fp_parts[0]
+        for part in fp_parts[1:]:
+            fps = fps.unionByName(part)
+        integrity.write_fingerprints(fps, comp_dir)
     with _MANIFEST_LOCK:
         # Re-read at commit time: segments the ingest sink committed
         # WHILE we were writing the compacted fold (batch_id > max_bid)

@@ -181,8 +181,8 @@ def test_compact_preserves_segment_committed_during_fold(spark, dirs, monkeypatc
         )
     orig_write = ingest.write_index
 
-    def write_then_ingest_late(idx, out_dir):
-        orig_write(idx, out_dir)
+    def write_then_ingest_late(idx, out_dir, **kw):
+        orig_write(idx, out_dir, **kw)
         if out_dir.endswith("_compacted"):
             monkeypatch.setattr(ingest, "write_index", orig_write)
             ingest.ingest_batch(
@@ -229,8 +229,8 @@ def test_orphan_segment_deleted_on_concurrent_compact_fold(spark, dirs, monkeypa
         )
     orig_write = ingest.write_index
 
-    def write_then_compact(idx, out_dir):
-        orig_write(idx, out_dir)
+    def write_then_compact(idx, out_dir, **kw):
+        orig_write(idx, out_dir, **kw)
         if not out_dir.endswith("_compacted"):
             # a concurrent maintenance pass folds everything committed
             # so far — batch_id 1 >= our in-flight batch 1
@@ -256,8 +256,8 @@ def test_vacuum_spares_stalled_uncommitted_writer(spark, dirs, monkeypatch):
     orig_write = ingest.write_index
     vacuumed = {}
 
-    def write_then_stall(idx, out_dir):
-        orig_write(idx, out_dir)
+    def write_then_stall(idx, out_dir, **kw):
+        orig_write(idx, out_dir, **kw)
         # the "stall": an aggressive vacuum fires while this writer has
         # written its segment but not yet committed the manifest entry
         vacuumed["removed"] = ingest.vacuum(dirs["idx"], min_age_s=0)
