@@ -11,6 +11,7 @@ hand it this file):
       terrier_spark/cli.py build-index --n-docs 20000 --out /tmp/idx
   python -m terrier_spark.cli build-index --n-docs 20000 --out /tmp/idx
   python -m terrier_spark.cli query --index /tmp/idx --query "int return" -k 10
+  python -m terrier_spark.cli verify-index --index /tmp/idx --corpus-parquet src.parquet
   python -m terrier_spark.cli bench --n-docs 20000 --cores 8,32
 
 `bench` runs the identical build at each parallelism level in a FRESH
@@ -112,6 +113,52 @@ def cmd_build_index(args) -> None:
         )
     )
     spark.stop()
+
+
+def cmd_verify_index(args) -> None:
+    """Audit a written index against its source: per-row sha256(content)
+    equality (operators/integrity.py).  Works on both batch-written
+    indexes (content_sha sidecar) and stream-built index dirs (per-
+    segment sidecars unioned via the manifest).  Prints a JSON line with
+    the violation count and up to --show sample violations; exits 1 if
+    the invariant is broken."""
+    from terrier_spark.session import get_spark
+    from terrier_spark.operators import integrity
+
+    spark = get_spark(app_name="terrier_spark_verify", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    source = (
+        spark.read.parquet(args.corpus_parquet)
+        if args.corpus_parquet
+        else _corpus(spark, args.n_docs)
+    )
+    if os.path.exists(os.path.join(args.index, "manifest.json")):
+        from terrier_spark.streaming import ingest
+
+        violations = ingest.verify_live_content(spark, args.index, source)
+        fps = ingest.live_fingerprints(spark, args.index)
+    else:
+        violations = integrity.verify_index_content(spark, args.index, source)
+        fps = integrity.read_fingerprints(spark, args.index)
+    sample = violations.limit(args.show).collect()
+    n_bad = violations.count()
+    print(
+        json.dumps(
+            {
+                "op": "verify-index",
+                "index": args.index,
+                "violations": n_bad,
+                "status": "OK" if n_bad == 0 else "CORRUPT",
+                "collection_sha_digest": integrity.collection_sha_digest(fps),
+                "sample": [
+                    {"doc_id": r["doc_id"], "status": r["status"]} for r in sample
+                ],
+            }
+        )
+    )
+    spark.stop()
+    if n_bad:
+        sys.exit(1)
 
 
 def cmd_query(args) -> None:
@@ -271,6 +318,14 @@ def main(argv=None) -> None:
              "(requires an index built with --positions)",
     )
     q.set_defaults(fn=cmd_query)
+
+    v = sub.add_parser("verify-index")
+    v.add_argument("--index", required=True)
+    v.add_argument("--corpus-parquet", default=None)
+    v.add_argument("--n-docs", type=int, default=20000)
+    v.add_argument("--cores", type=int, default=None)
+    v.add_argument("--show", type=int, default=5)
+    v.set_defaults(fn=cmd_verify_index)
 
     s = sub.add_parser("bench")
     s.add_argument("--n-docs", type=int, default=20000)
