@@ -125,6 +125,16 @@ def cmd_verify_index(args) -> None:
     from terrier_spark.session import get_spark
     from terrier_spark.operators import integrity
 
+    # An implicit source would make a forgotten --corpus-parquet verify
+    # a real index against the SYNTHETIC corpus and report a false
+    # CORRUPT — require the operator to say which source they mean.
+    if args.corpus_parquet is None and args.n_docs is None:
+        print(
+            "verify-index: pass --corpus-parquet PATH (the indexed source) "
+            "or --n-docs N (synthetic corpus builds)",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     spark = get_spark(app_name="terrier_spark_verify", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     source = (
@@ -135,13 +145,22 @@ def cmd_verify_index(args) -> None:
     if os.path.exists(os.path.join(args.index, "manifest.json")):
         from terrier_spark.streaming import ingest
 
-        violations = ingest.verify_live_content(spark, args.index, source)
         fps = ingest.live_fingerprints(spark, args.index)
     else:
-        violations = integrity.verify_index_content(spark, args.index, source)
+        if not integrity.has_fingerprints(args.index):
+            print(
+                f"verify-index: no content_sha sidecar under {args.index}; "
+                "build with write_index(..., fingerprint_docs=...) or the CLI",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         fps = integrity.read_fingerprints(spark, args.index)
-    sample = violations.limit(args.show).collect()
+    fps = fps.persist()
+    # ONE evaluation of the expensive verify join: count from the
+    # persisted violations, slice the sample from the same frame.
+    violations = integrity.verify_content(source, fps).persist()
     n_bad = violations.count()
+    sample = violations.limit(args.show).collect() if n_bad else []
     print(
         json.dumps(
             {
@@ -322,7 +341,7 @@ def main(argv=None) -> None:
     v = sub.add_parser("verify-index")
     v.add_argument("--index", required=True)
     v.add_argument("--corpus-parquet", default=None)
-    v.add_argument("--n-docs", type=int, default=20000)
+    v.add_argument("--n-docs", type=int, default=None)
     v.add_argument("--cores", type=int, default=None)
     v.add_argument("--show", type=int, default=5)
     v.set_defaults(fn=cmd_verify_index)

@@ -39,12 +39,14 @@ class ShardRecord:
     out_path: str
     engine_version: str
     finished_at_unix: int
-    # Order-independent XOR of per-row sha256(content), 64 hex chars
-    # (operators/integrity.py) — the engine-portable audit record for
-    # the north rule's content-sha256 invariant.  The xxhash64
-    # input_fingerprint gates resume (cheaper); this digest lets any
-    # OTHER engine re-derive and compare the shard's content set.
-    # Default "" keeps pre-r4 manifests readable.
+    # Order-independent XOR of per-row sha256(doc_id || '\n' ||
+    # sha256(content)), 64 hex chars (operators/integrity.py
+    # digest_word_aggs — the ONE shared definition) — the
+    # engine-portable audit record for the north rule's content-sha256
+    # invariant.  The xxhash64 input_fingerprint gates resume
+    # (cheaper); this digest lets any OTHER engine re-derive and
+    # compare the shard's content set.  Default "" keeps pre-r4
+    # manifests readable.
     content_sha_digest: str = ""
 
 
@@ -75,35 +77,33 @@ def _all_shard_fingerprints(
 ) -> dict[int, tuple[int, str, str]]:
     """shard → (row_count, hex fingerprint, content-sha digest) for
     EVERY shard in ONE distributed pass (grouped count + bit_xor of
-    per-row xxhash64, plus the 8×32-bit XOR fold of per-row
-    sha256(content) — all order/partitioning-invariant).  Empty shards
-    get (0, '0'*16, '0'*64)."""
+    per-row xxhash64, plus the shared set-digest word aggregates from
+    operators/integrity.py — all order/partitioning-invariant).  Empty
+    shards get (0, '0'*16, '0'*64)."""
+    from terrier_spark.operators import integrity
+
     shard_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
-    sha = F.sha2(F.col(text_col), 256)
-    sha_words = [
-        F.bit_xor(F.conv(F.substring(sha, 1 + 8 * i, 8), 16, 10).cast("long")).alias(
-            f"w{i}"
-        )
-        for i in range(8)
-    ]
+    docs_sha = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+        shard_col.alias("shard"),
+        F.xxhash64(F.col(id_col), F.col(text_col)).alias("xx"),
+    )
     rows = (
-        docs.groupBy(shard_col.alias("shard"))
+        docs_sha.groupBy("shard")
         .agg(
             F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("fp"),
-            *sha_words,
+            F.bit_xor("xx").alias("fp"),
+            *integrity.digest_word_aggs("doc_id", "content_sha"),
         )
         .collect()
     )
     out = {s: (0, "0" * 16, "0" * 64) for s in range(n_shards)}
     for r in rows:
-        digest = "".join(
-            format(int(r[f"w{i}"] or 0) & 0xFFFFFFFF, "08x") for i in range(8)
-        )
         out[int(r["shard"])] = (
             int(r["n"]),
             format((r["fp"] or 0) & 0xFFFFFFFFFFFFFFFF, "016x"),
-            digest,
+            integrity.fold_digest_row(r),
         )
     return out
 

@@ -26,10 +26,11 @@ Scale notes (10^12 rows):
   - `verify_content` is one full-outer join keyed on doc_id returning
     ONLY violations; on a clean corpus the result is empty and the
     join degenerates to a streaming zip of two sorted scans under AQE.
-  - The order-independent collection digest (XOR of per-row sha256,
-    folded as eight 32-bit words) lets two sides compare an entire
-    corpus with O(1) exchanged state — the same trick the checkpoint
-    manifest uses with xxhash64, but recomputable off-platform.
+  - The order-independent collection digest (XOR over rows of
+    sha256(doc_id || '\\n' || content_sha), folded as eight 32-bit
+    words) lets two sides compare an entire corpus with O(1) exchanged
+    state — the same trick the checkpoint manifest uses with xxhash64,
+    but recomputable off-platform.
 """
 
 from __future__ import annotations
@@ -54,21 +55,44 @@ def content_fingerprints(
     )
 
 
-def collection_sha_digest(fps: DataFrame, sha_col: str = "content_sha") -> str:
-    """Order-independent 256-bit digest of a fingerprint set: XOR of the
-    per-row sha256 values, folded JVM-side as eight 32-bit words (a
-    16-hex-char chunk can exceed Long range under `conv`, so words are
-    8 hex chars).  Equal digests ⇒ equal multisets of shas with
-    overwhelming probability; recomputable by any engine that can XOR.
-    Empty input → 64 zeros (the identity)."""
-    aggs = [
-        F.bit_xor(
-            F.conv(F.substring(sha_col, 1 + 8 * i, 8), 16, 10).cast("long")
-        ).alias(f"w{i}")
+def digest_word_aggs(id_col: str = "doc_id", sha_col: str = "content_sha") -> list:
+    """The eight 32-bit XOR word aggregates of the set digest — the ONE
+    definition shared by collection_sha_digest and the checkpoint
+    lineage (operators/checkpoint.py), so the two can never drift.
+
+    Per-row term: sha256(doc_id || '\\n' || coalesce(content_sha, '')).
+    Binding the row's sha to its doc_id makes the digest injective over
+    row SETS in practice — a bare XOR of content shas would cancel
+    duplicate contents (two identical docs XOR to nothing) and could
+    not tell a NULL-content row from an absent one.  A 16-hex chunk can
+    exceed Long range under `conv`, so the fold uses 8-hex words."""
+    h = F.sha2(
+        F.concat_ws("\n", F.col(id_col), F.coalesce(F.col(sha_col), F.lit(""))),
+        256,
+    )
+    return [
+        F.bit_xor(F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")).alias(
+            f"w{i}"
+        )
         for i in range(8)
     ]
-    row = fps.agg(*aggs).collect()[0]
+
+
+def fold_digest_row(row) -> str:
+    """Reassemble the 64-hex digest from a row of w0..w7 word aggregates
+    (empty input leaves every word NULL → the all-zeros identity)."""
     return "".join(format(int(row[f"w{i}"] or 0) & 0xFFFFFFFF, "08x") for i in range(8))
+
+
+def collection_sha_digest(fps: DataFrame, sha_col: str = "content_sha") -> str:
+    """Order-independent 256-bit digest of a fingerprint set: XOR over
+    rows of sha256(doc_id || '\\n' || content_sha), folded JVM-side as
+    eight 32-bit words.  Equal digests ⇒ equal {(doc_id, sha)} sets
+    with overwhelming probability; recomputable by ANY engine that has
+    sha256 and XOR (DuckDB, hashlib — see tests/test_integrity.py's
+    off-platform twin).  Empty input → 64 zeros (the identity)."""
+    row = fps.agg(*digest_word_aggs("doc_id", sha_col)).collect()[0]
+    return fold_digest_row(row)
 
 
 def verify_content(
@@ -83,19 +107,31 @@ def verify_content(
     MISSING (source row has no fingerprint), EXTRA (fingerprint for a
     row no longer in the source), MISMATCH (content changed).  An empty
     result is the invariant holding."""
-    exp = content_fingerprints(source, id_col, text_col).withColumnRenamed(
-        "content_sha", "expected_sha"
+    exp = content_fingerprints(source, id_col, text_col).select(
+        "doc_id",
+        F.col("content_sha").alias("expected_sha"),
+        F.lit(True).alias("_in_source"),
     )
     rec = fps.select(
-        F.col("doc_id"), F.col("content_sha").alias("recorded_sha")
+        "doc_id",
+        F.col("content_sha").alias("recorded_sha"),
+        F.lit(True).alias("_recorded"),
     )
+    # Presence flags, not sha NULL-ness, drive MISSING/EXTRA: sha2(NULL)
+    # is NULL, so a faithfully round-tripped NULL-content row carries a
+    # NULL sha on BOTH sides and must verify clean — only genuinely
+    # absent rows (flag NULL after the outer join) are violations, and
+    # MISMATCH uses null-safe equality for the same reason.
     joined = exp.join(rec, "doc_id", "full_outer")
     return (
         joined.withColumn(
             "status",
-            F.when(F.col("recorded_sha").isNull(), F.lit("MISSING"))
-            .when(F.col("expected_sha").isNull(), F.lit("EXTRA"))
-            .when(F.col("expected_sha") != F.col("recorded_sha"), F.lit("MISMATCH")),
+            F.when(F.col("_recorded").isNull(), F.lit("MISSING"))
+            .when(F.col("_in_source").isNull(), F.lit("EXTRA"))
+            .when(
+                ~F.col("expected_sha").eqNullSafe(F.col("recorded_sha")),
+                F.lit("MISMATCH"),
+            ),
         )
         .filter(F.col("status").isNotNull())
         .select("doc_id", "status", "expected_sha", "recorded_sha")

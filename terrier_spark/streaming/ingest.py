@@ -243,16 +243,15 @@ def live_fingerprints(spark: SparkSession, index_dir: str) -> DataFrame:
     segments = _read_manifest(index_dir)
     if not segments:
         raise FileNotFoundError(f"no segments committed under {index_dir}")
+    import functools
+
     parts = []
     for s in segments:
         seg_dir = os.path.join(index_dir, s["name"])
         if not integrity.has_fingerprints(seg_dir):
             raise FileNotFoundError(f"segment {s['name']} has no content_sha sidecar")
         parts.append(integrity.read_fingerprints(spark, seg_dir))
-    fps = parts[0]
-    for part in parts[1:]:
-        fps = fps.unionByName(part)
-    return fps
+    return functools.reduce(DataFrame.unionByName, parts)
 
 
 def verify_live_content(
@@ -296,7 +295,13 @@ def compact(spark: SparkSession, index_dir: str) -> InvertedIndex:
     # Fold the per-segment content-sha sidecars with the postings: the
     # compacted segment's sidecar is the union of its inputs', so the
     # end-to-end invariant survives compaction without re-reading any
-    # source content (the shas were computed once, at ingest).
+    # source content (the shas were computed once, at ingest).  Union
+    # whatever sidecars EXIST — dropping the fold because one pre-
+    # sidecar segment is in the mix would let the subsequent vacuum
+    # destroy every fingerprint that DID exist; partial coverage
+    # instead surfaces honestly as MISSING rows in verify_live_content.
+    import functools
+
     from terrier_spark.operators import integrity
 
     fp_parts = [
@@ -304,11 +309,10 @@ def compact(spark: SparkSession, index_dir: str) -> InvertedIndex:
         for s in segments
         if integrity.has_fingerprints(os.path.join(index_dir, s["name"]))
     ]
-    if len(fp_parts) == len(segments):
-        fps = fp_parts[0]
-        for part in fp_parts[1:]:
-            fps = fps.unionByName(part)
-        integrity.write_fingerprints(fps, comp_dir)
+    if fp_parts:
+        integrity.write_fingerprints(
+            functools.reduce(DataFrame.unionByName, fp_parts), comp_dir
+        )
     with _MANIFEST_LOCK:
         # Re-read at commit time: segments the ingest sink committed
         # WHILE we were writing the compacted fold (batch_id > max_bid)

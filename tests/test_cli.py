@@ -76,3 +76,9 @@ def test_cli_build_verify_tamper_roundtrip(tmp_path):
     assert rep2["sample"] == [{"doc_id": victim, "status": "MISMATCH"}]
     # the digest is over the RECORDED sidecar, identical either way
     assert rep2["collection_sha_digest"] == rep["collection_sha_digest"]
+
+    # No source given: refuse (exit 2) instead of silently verifying
+    # against the synthetic corpus and crying CORRUPT.
+    nosrc = _run(["verify-index", "--index", idx], repo_root)
+    assert nosrc.returncode == 2
+    assert "--corpus-parquet" in nosrc.stderr

@@ -59,12 +59,21 @@ def test_collection_digest_order_independent_and_sensitive(spark, corpus_sdf):
     assert empty == "0" * 64
 
 
+def _local_digest_term(doc_id: str, content_sha: str | None) -> int:
+    """Pure-Python twin of integrity.digest_word_aggs' per-row term:
+    sha256(doc_id || '\\n' || coalesce(content_sha, ''))."""
+    return int(
+        hashlib.sha256(f"{doc_id}\n{content_sha or ''}".encode()).hexdigest(), 16
+    )
+
+
 def test_local_xor_twin(corpus_pdf):
-    """The distributed digest equals a pure-Python XOR of per-row shas —
-    the 'any engine can recompute it' property, proven off-platform."""
+    """The distributed digest equals a pure-Python XOR of the per-row
+    digest terms — the 'any engine can recompute it' property, proven
+    off-platform."""
     acc = 0
-    for content in corpus_pdf["content"]:
-        acc ^= int(_local_sha(content), 16)
+    for i, content in enumerate(corpus_pdf["content"]):
+        acc ^= _local_digest_term(str(i), _local_sha(content))
     expected = format(acc, "064x")
     # computed distributed in the other test; recompute here cheaply
     from terrier_spark.session import get_spark
@@ -76,6 +85,70 @@ def test_local_xor_twin(corpus_pdf):
     )
     got = integrity.collection_sha_digest(integrity.content_fingerprints(sdf))
     assert got == expected
+
+
+def test_null_content_rows_verify_clean_and_digest_distinguishes(spark):
+    """sha2(NULL) is NULL: a faithfully round-tripped NULL-content row
+    must NOT be a violation (presence flags, not sha NULL-ness, drive
+    MISSING/EXTRA), and the set digest must distinguish a NULL-content
+    row from that row being absent, and NULL from empty-string."""
+    rows = [("a", "hello"), ("b", None), ("c", "")]
+    sdf = spark.createDataFrame(rows, "doc_id string, content string")
+    fps = integrity.content_fingerprints(sdf)
+    assert integrity.verify_content(sdf, fps).count() == 0
+
+    # NULL → non-NULL and non-NULL → NULL are both MISMATCH.
+    flipped = spark.createDataFrame(
+        [("a", "hello"), ("b", ""), ("c", None)], "doc_id string, content string"
+    )
+    v = {r["doc_id"]: r["status"] for r in integrity.verify_content(flipped, fps).collect()}
+    assert v == {"b": "MISMATCH", "c": "MISMATCH"}
+
+    d_full = integrity.collection_sha_digest(fps)
+    d_without_b = integrity.collection_sha_digest(fps.filter(F.col("doc_id") != "b"))
+    d_b_empty = integrity.collection_sha_digest(integrity.content_fingerprints(flipped))
+    assert len({d_full, d_without_b, d_b_empty}) == 3
+
+    # Duplicate CONTENTS must not cancel out of the digest (the terms
+    # bind doc_id, so two identical docs contribute distinct words).
+    dup = spark.createDataFrame(
+        [("a", "same"), ("b", "same"), ("c", "other")],
+        "doc_id string, content string",
+    )
+    no_dup = spark.createDataFrame([("c", "other")], "doc_id string, content string")
+    assert integrity.collection_sha_digest(
+        integrity.content_fingerprints(dup)
+    ) != integrity.collection_sha_digest(integrity.content_fingerprints(no_dup))
+
+
+def test_duckdb_digest_twin(spark, corpus_sdf, tmp_path):
+    """The collection digest is recomputable by a DIFFERENT engine from
+    the raw parquet alone: DuckDB's sha256 + bit_xor over the same
+    formula reproduces Spark's digest bit-for-bit — the engine-portable
+    end-to-end property, demonstrated rather than asserted."""
+    import duckdb
+
+    src = str(tmp_path / "src.parquet")
+    corpus_sdf.select("doc_id", "content").coalesce(1).write.parquet(src)
+    spark_digest = integrity.collection_sha_digest(
+        integrity.content_fingerprints(corpus_sdf)
+    )
+    words = ", ".join(
+        f"bit_xor(('0x' || substr(h, {1 + 8 * i}, 8))::UBIGINT) AS w{i}"
+        for i in range(8)
+    )
+    row = duckdb.connect().execute(
+        f"""
+        WITH fp AS (
+          SELECT doc_id, sha256(content) AS content_sha FROM '{src}/*.parquet'
+        ), t AS (
+          SELECT sha256(doc_id || chr(10) || coalesce(content_sha, '')) AS h FROM fp
+        )
+        SELECT {words} FROM t
+        """
+    ).fetchone()
+    duck_digest = "".join(format(int(w) & 0xFFFFFFFF, "08x") for w in row)
+    assert duck_digest == spark_digest
 
 
 def test_verify_content_clean_and_violations(spark, corpus_sdf):
@@ -162,7 +235,7 @@ def test_checkpoint_lineage_carries_sha_digest(spark, corpus_sdf, corpus_pdf, tm
     }
     acc = {s: 0 for s in range(4)}
     for doc_id, content in zip(corpus_pdf["doc_id"], corpus_pdf["content"]):
-        acc[shard_of[doc_id]] ^= int(_local_sha(content), 16)
+        acc[shard_of[doc_id]] ^= _local_digest_term(doc_id, _local_sha(content))
     for s in range(4):
         assert man[s].content_sha_digest == format(acc[s], "064x")
 
@@ -223,6 +296,35 @@ def test_stream_ingest_enforces_invariant(spark, corpus_sdf, tmp_path):
     assert len(segs) == 1 and segs[0].get("compacted")
     assert ingest.verify_live_content(spark, idx_dir, corpus_sdf).count() == 0
     assert ingest.live_fingerprints(spark, idx_dir).count() == corpus_sdf.count()
+
+
+def test_compact_preserves_partial_sidecars(spark, corpus_sdf, tmp_path):
+    """A pre-sidecar segment in the mix must NOT make compaction drop
+    the sidecars that DO exist (they'd be vacuumed with the old segment
+    dirs, destroying the invariant permanently).  The compacted segment
+    keeps the partial union; uncovered docs surface as MISSING."""
+    import shutil
+
+    from terrier_spark.streaming import ingest
+
+    idx_dir = str(tmp_path / "index")
+    parts = [
+        corpus_sdf.filter(F.abs(F.hash("doc_id")) % 2 == i) for i in range(2)
+    ]
+    for b, p in enumerate(parts):
+        ingest.ingest_batch(p, b, idx_dir, text_col="content", bucket_span=64)
+    # Simulate a pre-sidecar (legacy) segment 0.
+    shutil.rmtree(str(tmp_path / "index" / "seg_00000000" / "content_sha"))
+    with pytest.raises(FileNotFoundError):
+        ingest.live_fingerprints(spark, idx_dir)
+
+    ingest.compact(spark, idx_dir)
+    fps = ingest.live_fingerprints(spark, idx_dir)  # partial, but present
+    n1 = parts[1].count()
+    assert fps.count() == n1
+    v = ingest.verify_live_content(spark, idx_dir, corpus_sdf)
+    statuses = {r["status"] for r in v.collect()}
+    assert statuses == {"MISSING"} and v.count() == corpus_sdf.count() - n1
 
 
 def test_old_manifest_without_digest_still_loads(tmp_path):
