@@ -121,6 +121,72 @@ def test_null_content_rows_verify_clean_and_digest_distinguishes(spark):
     ) != integrity.collection_sha_digest(integrity.content_fingerprints(no_dup))
 
 
+ADVERSARIAL_TEXTS = [
+    "",  # empty
+    "\x00byte", "a\x00b",  # embedded NUL
+    "naïve café",  # latin-1 range
+    "日本語のテキスト",  # CJK
+    "🦀🚀𝕊𝕡𝕒𝕣𝕜",  # astral plane (4-byte UTF-8)
+    "éclair",  # combining accent (NOT normalized — bytes differ from é)
+    "שלום",  # RTL Hebrew
+    "  ",  # unicode line/paragraph separators
+    "tab\tnl\ncr\r mix",
+    "￿￾",  # noncharacters
+    "x" * 10000,  # long run
+]
+
+
+def test_sha_cross_engine_on_adversarial_unicode(spark):
+    """The cross-engine equality claim hinges on all three engines
+    hashing the SAME UTF-8 bytes: Spark sha2 == hashlib == DuckDB
+    sha256 on empty / NUL / CJK / astral / combining / RTL /
+    noncharacter inputs — the encodings where a UTF-16-backed engine
+    could diverge."""
+    import duckdb
+
+    rows = [(f"d{i}", t) for i, t in enumerate(ADVERSARIAL_TEXTS)]
+    sdf = spark.createDataFrame(rows, "doc_id string, content string")
+    got = {
+        r["doc_id"]: r["content_sha"]
+        for r in integrity.content_fingerprints(sdf, text_col="content").collect()
+    }
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        assert got[doc_id] == _local_sha(text), repr(text)
+        assert (
+            con.execute("select sha256(?)", [text]).fetchone()[0] == got[doc_id]
+        ), repr(text)
+
+
+def test_sha_cross_engine_hypothesis(spark):
+    """Property form of the above: random unicode batches hash
+    identically on Spark and hashlib (one Spark job per example)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(exclude_categories=["Cs"]), max_size=200
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(texts):
+        rows = [(f"h{i}", t) for i, t in enumerate(texts)]
+        sdf = spark.createDataFrame(rows, "doc_id string, content string")
+        got = {
+            r["doc_id"]: r["content_sha"]
+            for r in integrity.content_fingerprints(sdf, text_col="content").collect()
+        }
+        for doc_id, text in rows:
+            assert got[doc_id] == _local_sha(text), repr(text)
+
+    check()
+
+
 def test_duckdb_digest_twin(spark, corpus_sdf, tmp_path):
     """The collection digest is recomputable by a DIFFERENT engine from
     the raw parquet alone: DuckDB's sha256 + bit_xor over the same
