@@ -260,6 +260,27 @@ def main() -> None:
         if h is not None:
             h.unpersist()
 
+    # End-to-end content-sha256 integrity (the north-rule invariant,
+    # operators/integrity.py): fingerprint the 20k corpus and verify
+    # per-row equality — one codegen sha projection per side plus the
+    # violations-only full-outer join.  Tracked so regressions in the
+    # enforcement path are visible round-over-round.
+    from terrier_spark.operators import integrity
+
+    t0 = time.monotonic()
+    fps = integrity.content_fingerprints(docs, text_col="content")
+    n_viol = integrity.verify_content(docs, fps, text_col="content").count()
+    integ_s = time.monotonic() - t0
+    timings["integrity_verify_20k"] = round(integ_s, 3)
+    total += integ_s
+    if n_viol:
+        print(f"# integrity: UNEXPECTED {n_viol} violations", file=sys.stderr)
+    print(
+        f"# integrity verify: {BENCH_CORPUS_DOCS} docs in {integ_s:.2f}s "
+        f"({n_viol} violations)",
+        file=sys.stderr,
+    )
+
     # DML throughput (the reference's TPC-C items/sec analog,
     # benchmark/integration/tpcc_benchmark.cpp:153-155 — VERDICT r3 item
     # 10): MERGE upsert + UPDATE + DELETE through sources/dml.py over a
