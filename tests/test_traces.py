@@ -38,7 +38,9 @@ TRACES = [
                                        # ambiguous, so they are conservatively
                                        # order-unchecked
     ("orderby.test", 12, 12),          # 13 / 13 observed
-    ("nested-query.test", 19, 10),     # 21 / 12 observed
+    ("nested-query.test", 23, 13),     # 25 / 15 observed (the 4 op-ANY
+                                       # queries replay via validated
+                                       # min/max/IN rewrites — 0 skips)
     ("functions.test", 110, 0),        # 122 observed
     ("functions_trig.test", 2, 2),     # 2 / 2 observed (1 documented skip)
     ("sqlite-select1.test", 130, 125), # 138 / 132 observed

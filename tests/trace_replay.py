@@ -48,8 +48,11 @@ TRACE_DIR = "/root/reference/script/testing/junit/traces"
 # surface we intentionally don't cover.
 SKIP_PATTERNS: list[tuple[str, str]] = [
     (
-        r"(=|!=|<>|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(",
-        "quantified-comparison subquery (op ANY/ALL) — no Spark SQL syntax",
+        r"(=|!=|<>|<=|>=|<|>)\s*(ALL|SOME)\s*\(",
+        "quantified-comparison subquery (op ALL/SOME) — no Spark SQL "
+        "syntax and no trace coverage to validate a rewrite against "
+        "(op ANY appears in the traces and IS rewritten, see "
+        "SPARK_REWRITES)",
     ),
     (
         r"MAX\(gpa\) > 3\.7",
@@ -106,6 +109,29 @@ SPARK_REWRITES: list[tuple[str, str]] = [
     # NoisePage's truncate(x) = truncate-toward-zero; Spark has no
     # numeric trunc — cast through BIGINT (the trace values fit)
     (r"\btruncate\(([^()]*)\)", r"CAST(CAST(\1 AS BIGINT) AS DOUBLE)"),
+    # Quantified ANY subqueries (Spark has no op ANY(...) syntax):
+    # identities over a single-column, paren-free subquery body — the
+    # shapes in the trace corpus.  The DuckDB oracle executes the
+    # ORIGINAL quantified form, so the cross-engine diff VALIDATES each
+    # rewrite rather than trusting it.  Empty-subquery semantics match
+    # (ANY over empty = false; MIN/MAX over empty = NULL => non-true
+    # comparison).  != ANY must run before the bare = rule (its pattern
+    # would otherwise swallow the '='); >=/<= carry '=' too, so the
+    # bare = rule uses a lookbehind.
+    (
+        r"([\w.]+)\s*(?:!=|<>)\s*ANY\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
+        r"((SELECT MIN(__v) FROM (SELECT \3 AS __v \4) __any1) != \1"
+        r" OR (SELECT MAX(__v) FROM (SELECT \3 AS __v \4) __any2) != \1)",
+    ),
+    (
+        r"(>=|>)\s*ANY\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
+        r"\1 (SELECT MIN(__v) FROM (SELECT \3 AS __v \4) __any)",
+    ),
+    (
+        r"(<=|<)\s*ANY\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
+        r"\1 (SELECT MAX(__v) FROM (SELECT \3 AS __v \4) __any)",
+    ),
+    (r"(?<![!<>])=\s*ANY\s*\(", " IN ("),
 ]
 
 # Rewrites applied to the DUCKDB side so the oracle can execute
