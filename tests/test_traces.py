@@ -32,7 +32,7 @@ from trace_replay import TRACE_DIR, replay_trace
 # (dozens of cases) does.
 TRACES = [
     ("aggregations.test", 20, 0),      # 22 observed
-    ("select.test", 135, 0),           # 144 observed; its ORDER BY queries
+    ("select.test", 143, 0),           # 147 observed; its ORDER BY queries
                                        # are SELECT * over joins — duplicate
                                        # output names make key binding
                                        # ambiguous, so they are conservatively
@@ -41,7 +41,10 @@ TRACES = [
     ("nested-query.test", 23, 13),     # 25 / 15 observed (the 4 op-ANY
                                        # queries replay via validated
                                        # min/max/IN rewrites — 0 skips)
-    ("functions.test", 110, 0),        # 122 observed
+    ("functions.test", 125, 0),        # 129 observed (initcap oracle
+                                       # emulation + Postgres concat/
+                                       # LIKE-escape/left-right rewrites
+                                       # recovered 7 former skips)
     ("functions_trig.test", 2, 2),     # 2 / 2 observed (1 documented skip)
     ("sqlite-select1.test", 130, 125), # 138 / 132 observed
     ("sqlite-select2.test", 125, 0),   # 134 observed (trace has no ORDER BY)

@@ -60,28 +60,16 @@ SKIP_PATTERNS: list[tuple[str, str]] = [
         "to double (3.7f > 3.7d is true), NoisePage/DuckDB compare at "
         "float — known cross-engine literal-typing divergence",
     ),
-    (
-        r"LIKE\s+'[^']*\\\\",
-        "LIKE pattern containing a backslash: Spark's default LIKE escape "
-        "char is the backslash (rejects '\\D'), NoisePage/DuckDB match it "
-        "literally — dialect divergence, not an expression bug",
-    ),
-    (
-        r"\b(left|right)\s*\([^,]+,\s*-\d",
-        "left/right with negative length: Postgres-family (reference, "
-        "DuckDB) drops |n| chars from the opposite end, Spark returns "
-        "empty — dialect divergence",
-    ),
-    (
-        r"CONCAT\(str_i_val, str_a_val\) AS result FROM functions1 WHERE is_null = 1",
-        "concat over NULL: reference returns '' (Postgres concat treats "
-        "NULL as empty, trace hash 68b329da = md5 of empty), Spark "
-        "propagates NULL",
-    ),
+    # NOTE: LIKE patterns with backslashes, left/right with negative
+    # lengths, op-ANY subqueries, and NULL-skipping concat() are all
+    # handled by SPARK_REWRITES identities below instead of being
+    # skipped — the DuckDB oracle validates each rewrite.
     (
         r"split_part\(str_a_val, 'd', 1\) AS result FROM functions1 WHERE is_null = 1",
-        "split_part over NULL: reference returns '' (trace hash 68b329da "
-        "= md5 of empty), Spark and Postgres propagate NULL",
+        "split_part over NULL input: Spark follows Postgres (strict — "
+        "NULL in, NULL out) while NoisePage and DuckDB return '' (the "
+        "trace hash 68b329da is the md5 of empty) — an oracle-side "
+        "divergence we cannot diff against without masking the oracle",
     ),
     (
         r"pg_catalog\.",
@@ -132,6 +120,29 @@ SPARK_REWRITES: list[tuple[str, str]] = [
         r"\1 (SELECT MAX(__v) FROM (SELECT \3 AS __v \4) __any)",
     ),
     (r"(?<![!<>])=\s*ANY\s*\(", " IN ("),
+    # Postgres-family LIKE treats a backslash in the pattern literally;
+    # Spark's default LIKE escape char IS the backslash (and it rejects
+    # '\D' as an invalid escape).  Pin an explicit ESCAPE char that no
+    # trace pattern contains, which makes the backslash literal on the
+    # Spark side too.
+    (
+        r"\b(NOT\s+LIKE|LIKE)\s+('[^']*\\\\[^']*')",
+        r"\1 \2 ESCAPE '#'",
+    ),
+    # Postgres-family left/right with a NEGATIVE length drops |n| chars
+    # from the opposite end; Spark returns ''.  Identities:
+    #   left(s, -n)  = substr(s, 1, greatest(length(s)-n, 0))
+    #   right(s, -n) = substr(s, n+1)
+    (
+        r"\bleft\(([^,()]+),\s*-(\d+)\)",
+        r"substr(\1, 1, greatest(length(\1)-\2, 0))",
+    ),
+    (r"\bright\(([^,()]+),\s*-(\d+)\)", r"substr(\1, \2+1)"),
+    # Postgres's concat() (and NoisePage's, and DuckDB's) SKIPS NULL
+    # arguments; Spark's propagates NULL.  concat_ws('') is Spark's
+    # exact spelling of the Postgres semantics (every trace call site
+    # is all-string, which concat_ws requires).
+    (r"\bconcat\(([^()]*)\)", r"concat_ws('', \1)"),
 ]
 
 # Rewrites applied to the DUCKDB side so the oracle can execute
@@ -146,6 +157,15 @@ ORACLE_REWRITES: list[tuple[str, str]] = [
     (r"\bchar_length\(", "length("),
     # DuckDB's lpad/rpad require the 3-arg form; Postgres defaults to ' '
     (r"\b(lpad|rpad)\(([^,()]+),\s*(\d+)\)", r"\1(\2, \3, ' ')"),
+    # This DuckDB build lacks initcap; whitespace-word title-casing is
+    # the semantics Spark AND Postgres share for the trace data (single
+    # space-separated ASCII words), and NULL propagates through the
+    # list pipeline exactly like initcap(NULL).
+    (
+        r"\binitcap\(([^()]*)\)",
+        r"array_to_string(list_transform(string_split(\1, ' '), "
+        r"__y -> upper(substr(__y,1,1)) || lower(substr(__y,2))), ' ')",
+    ),
 ]
 
 
