@@ -31,7 +31,9 @@ from trace_replay import TRACE_DIR, replay_trace
 # shifts a case or two doesn't hard-fail, while a parser regression
 # (dozens of cases) does.
 TRACES = [
-    ("aggregations.test", 20, 0),      # 22 observed
+    ("aggregations.test", 22, 0),      # 24 observed (float-literal
+                                       # pinning recovered the 2 gpa
+                                       # HAVING skips)
     ("select.test", 143, 0),           # 147 observed; its ORDER BY queries
                                        # are SELECT * over joins — duplicate
                                        # output names make key binding

@@ -54,12 +54,6 @@ SKIP_PATTERNS: list[tuple[str, str]] = [
         "(op ANY appears in the traces and IS rewritten, see "
         "SPARK_REWRITES)",
     ),
-    (
-        r"MAX\(gpa\) > 3\.7",
-        "float32 column vs fractional literal: Spark promotes both sides "
-        "to double (3.7f > 3.7d is true), NoisePage/DuckDB compare at "
-        "float — known cross-engine literal-typing divergence",
-    ),
     # NOTE: LIKE patterns with backslashes, left/right with negative
     # lengths, op-ANY subqueries, and NULL-skipping concat() are all
     # handled by SPARK_REWRITES identities below instead of being
@@ -143,6 +137,16 @@ SPARK_REWRITES: list[tuple[str, str]] = [
     # exact spelling of the Postgres semantics (every trace call site
     # is all-string, which concat_ws requires).
     (r"\bconcat\(([^()]*)\)", r"concat_ws('', \1)"),
+    # float32 column vs fractional literal: Spark promotes both sides
+    # to double (3.7f > 3.7d is TRUE because the stored float is
+    # 3.7000000476…), NoisePage and DuckDB compare at float and exclude
+    # the 3.7 row.  Pin the literal to FLOAT so Spark compares at the
+    # column's own precision — empirically bit-identical to DuckDB on
+    # the boundary values, and the oracle diff validates it per query.
+    (
+        r"(gpa\s*\)\s*(?:>=|<=|>|<))\s*(\d+\.\d+)",
+        r"\1 CAST(\2 AS FLOAT)",
+    ),
 ]
 
 # Rewrites applied to the DUCKDB side so the oracle can execute
