@@ -134,9 +134,10 @@ def run_level(corpus: str, workers: int, cores: int, repo_root: str) -> dict:
     # tmpfs shuffle dir + top-of-range taskset pin (shared protocol —
     # rationale in terrier_spark/benchenv.py; this copy used to lack
     # the /dev/shm guard the cli harness documents as required)
-    from terrier_spark.benchenv import pinned_child_env
+    from terrier_spark.benchenv import pinned_child_env, require_full_pin
 
     pin, env, chosen = pinned_child_env(total)
+    require_full_pin(total, chosen)
     load1 = float(open("/proc/loadavg").read().split()[0])
     s0 = _cpu_snap()
     pc0 = _percpu_busy()

@@ -154,9 +154,10 @@ def main() -> None:
         elog = tempfile.mkdtemp(prefix=f"ts_elog_{c}_")
         # tmpfs shuffle dir + top-of-range taskset pin (shared
         # protocol — rationale in terrier_spark/benchenv.py)
-        from terrier_spark.benchenv import pinned_child_env
+        from terrier_spark.benchenv import pinned_child_env, require_full_pin
 
         pin, env, chosen = pinned_child_env(c)
+        require_full_pin(c, chosen)
         load1 = float(open("/proc/loadavg").read().split()[0])
         s0 = _cpu_snap()
         pc0 = _percpu_busy()

@@ -50,8 +50,33 @@ def pinned_child_env(
     except AttributeError:  # non-Linux
         allowed = list(range(os.cpu_count() or cores))
     chosen = allowed[-cores:] if len(allowed) >= cores else allowed
+    if len(chosen) < cores:
+        # Loud, not silent: a cpuset-restricted host pinning "32 cores"
+        # to 8 CPUs would quietly corrupt the N-vs-4N scaling comparison
+        # (ADVICE r4).  The scaling harnesses treat this as fatal via
+        # require_full_pin; ad-hoc callers at least see the degradation.
+        import sys
+
+        print(
+            f"benchenv: WARNING requested cores={cores} but only "
+            f"{len(chosen)} CPUs allowed ({chosen}); measurement is NOT "
+            f"a valid {cores}-wide level",
+            file=sys.stderr,
+        )
     taskset = shutil.which("taskset")
     pin = (
         [taskset, "-c", ",".join(map(str, chosen))] if taskset and chosen else []
     )
     return pin, env, chosen if pin else []
+
+
+def require_full_pin(cores: int, pinned: list[int]) -> None:
+    """Raise unless the pin is exactly ``cores`` wide — the scaling
+    harnesses call this per level so an undersized cpuset (or missing
+    taskset) fails the measurement instead of silently masquerading as
+    a valid N-vs-4N comparison (ADVICE r4)."""
+    if len(pinned) != cores:
+        raise RuntimeError(
+            f"scaling level requires an exact {cores}-CPU pin; got "
+            f"{len(pinned)} ({pinned}) — cpuset too small or taskset missing"
+        )

@@ -142,6 +142,19 @@ def cmd_verify_index(args) -> None:
         if args.corpus_parquet
         else _corpus(spark, args.n_docs)
     )
+    # Validate the source schema up front: a real corpus with different
+    # column names used to die in a raw AnalysisException deep inside
+    # the verify join despite this being the operator-facing audit
+    # entry point (ADVICE r4) — name the missing column and the flag
+    # that fixes it instead.
+    for col, flag in ((args.id_col, "--id-col"), (args.text_col, "--text-col")):
+        if col not in source.columns:
+            print(
+                f"verify-index: source has no column {col!r} "
+                f"(columns: {source.columns}); pass {flag} to name it",
+                file=sys.stderr,
+            )
+            sys.exit(2)
     if os.path.exists(os.path.join(args.index, "manifest.json")):
         from terrier_spark.streaming import ingest
 
@@ -158,7 +171,9 @@ def cmd_verify_index(args) -> None:
     fps = fps.persist()
     # ONE evaluation of the expensive verify join: count from the
     # persisted violations, slice the sample from the same frame.
-    violations = integrity.verify_content(source, fps).persist()
+    violations = integrity.verify_content(
+        source, fps, id_col=args.id_col, text_col=args.text_col
+    ).persist()
     n_bad = violations.count()
     sample = violations.limit(args.show).collect() if n_bad else []
     print(
@@ -244,13 +259,14 @@ def cmd_bench(args) -> None:
          "--n-docs", str(args.n_docs), "--out", corpus_dir],
         check=True, capture_output=True, text=True, cwd=repo_root,
     )
-    from terrier_spark.benchenv import pinned_child_env
+    from terrier_spark.benchenv import pinned_child_env, require_full_pin
 
     for rep in range(max(args.reps, 1)):
         for c in levels:
             # tmpfs shuffle dir + top-of-range taskset pin (shared
             # protocol — rationale in terrier_spark/benchenv.py)
             pin, env, chosen = pinned_child_env(c)
+            require_full_pin(c, chosen)
             env["SPARK_GRAFT_CPUS"] = str(c)
             p = subprocess.run(
                 pin
@@ -342,6 +358,8 @@ def main(argv=None) -> None:
     v.add_argument("--index", required=True)
     v.add_argument("--corpus-parquet", default=None)
     v.add_argument("--n-docs", type=int, default=None)
+    v.add_argument("--id-col", default="doc_id")
+    v.add_argument("--text-col", default="content")
     v.add_argument("--cores", type=int, default=None)
     v.add_argument("--show", type=int, default=5)
     v.set_defaults(fn=cmd_verify_index)

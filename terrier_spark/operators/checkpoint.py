@@ -42,11 +42,14 @@ class ShardRecord:
     # Order-independent XOR of per-row sha256(doc_id || '\n' ||
     # sha256(content)), 64 hex chars (operators/integrity.py
     # digest_word_aggs — the ONE shared definition) — the
-    # engine-portable audit record for the north rule's content-sha256
-    # invariant.  The xxhash64 input_fingerprint gates resume
-    # (cheaper); this digest lets any OTHER engine re-derive and
-    # compare the shard's content set.  Default "" keeps pre-r4
-    # manifests readable.
+    # engine-portable DRIFT DETECTOR for the north rule's content-sha256
+    # invariant: any engine can re-derive and compare the shard's
+    # content set against accidental corruption or divergence.  NOT an
+    # adversarially binding commitment (XOR set-hashes are forgeable,
+    # Bellare–Micciancio '97 — see integrity.py's threat model);
+    # tamper-evidence comes from the per-row verify_content join over
+    # the sidecar itself.  The xxhash64 input_fingerprint gates resume
+    # (cheaper).  Default "" keeps pre-r4 manifests readable.
     content_sha_digest: str = ""
 
 

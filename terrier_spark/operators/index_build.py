@@ -176,7 +176,7 @@ def assign_docnos(
         # the 10^12-doc shape from the NOTE below: write out, read back
         from terrier_spark.plans.relational import _scratch_dir_uniq
 
-        snap = _scratch_dir_uniq("docno_ids")
+        snap = _scratch_dir_uniq("docno_ids", owned=True)
         schema = ranged.schema
         ranged.write.mode("overwrite").parquet(snap)
         # explicit schema: robust to an empty corpus (no part files)

@@ -31,6 +31,21 @@ Scale notes (10^12 rows):
     words) lets two sides compare an entire corpus with O(1) exchanged
     state — the same trick the checkpoint manifest uses with xxhash64,
     but recomputable off-platform.
+
+Threat model — what each layer actually guarantees:
+  - ``verify_content`` (the per-row anti-join) is the ENFORCEMENT: it
+    compares recomputed sha256 per row, so any change an adversary can
+    make to the content is detected (up to sha256 collision).
+  - The XOR set digest is a DRIFT DETECTOR for accidental corruption,
+    replication lag, or lost/duplicated rows — NOT an adversarially
+    binding commitment.  An XOR fold of per-row hashes is forgeable by
+    an adversary who controls row contents: with ~256 rows of chosen
+    terms the digest is a solvable GF(2) linear system
+    (Bellare–Micciancio, "A new paradigm for collision-free hashing:
+    incrementality at reduced cost", EUROCRYPT '97, §attack on XHASH).
+    When tamper-evidence against a malicious writer is required, run
+    the per-row verify (or hash sorted (doc_id, sha) pairs through one
+    sha256 stream, which is binding but not mergeable/O(1)).
 """
 
 from __future__ import annotations
@@ -87,10 +102,16 @@ def fold_digest_row(row) -> str:
 def collection_sha_digest(fps: DataFrame, sha_col: str = "content_sha") -> str:
     """Order-independent 256-bit digest of a fingerprint set: XOR over
     rows of sha256(doc_id || '\\n' || content_sha), folded JVM-side as
-    eight 32-bit words.  Equal digests ⇒ equal {(doc_id, sha)} sets
-    with overwhelming probability; recomputable by ANY engine that has
-    sha256 and XOR (DuckDB, hashlib — see tests/test_integrity.py's
-    off-platform twin).  Empty input → 64 zeros (the identity)."""
+    eight 32-bit words.  Recomputable by ANY engine that has sha256 and
+    XOR (DuckDB, hashlib — see tests/test_integrity.py's off-platform
+    twin).  Empty input → 64 zeros (the identity).
+
+    Guarantee: equal digests ⇒ equal {(doc_id, sha)} sets against
+    ACCIDENTAL divergence (corruption, lost/duplicated/reordered rows)
+    with overwhelming probability.  It is NOT adversarially binding —
+    XOR set-hashes are forgeable via GF(2) linear algebra
+    (Bellare–Micciancio '97); use verify_content for tamper-evidence.
+    See the module docstring's threat model."""
     row = fps.agg(*digest_word_aggs("doc_id", sha_col)).collect()[0]
     return fold_digest_row(row)
 

@@ -163,7 +163,7 @@ _SCRATCH_SEQ = itertools.count()
 _UNIQ_DIRS: list[str] = []
 
 
-def _scratch_dir_uniq(name: str) -> str:
+def _scratch_dir_uniq(name: str, owned: bool = False) -> str:
     """Like _scratch_dir, but unique per CALL: for materializations whose
     returned DataFrame lazily re-scans the path — a later call with the
     same name must not overwrite the parquet backing an earlier result
@@ -171,24 +171,46 @@ def _scratch_dir_uniq(name: str) -> str:
     is small: verified pair sets, id snapshots); a long-lived driver
     reclaims them with release_uniq_scratch() once the results they back
     are no longer held, and the dead-process sweep reclaims them after
-    exit.  cache=False indexes own their snapshot individually via
-    InvertedIndex.release()."""
+    exit.
+
+    ``owned=True`` marks a dir whose lifecycle belongs to a specific
+    holder (an InvertedIndex snapshot reclaimed by .release(), an IVF
+    layout reclaimed by its cache eviction): owned dirs are NOT swept by
+    release_uniq_scratch(), so a driver honoring the documented contract
+    for frames IT holds cannot delete the parquet under a live internal
+    cache (ADVICE r4) — the dead-process sweep remains their backstop."""
     d = _scratch_dir(f"{name}_{next(_SCRATCH_SEQ)}")
-    _UNIQ_DIRS.append(d)
+    if not owned:
+        _UNIQ_DIRS.append(d)
     return d
 
 
 def release_uniq_scratch() -> int:
     """Delete every per-call scratch dir this process created and return
     the count removed.  Caller contract: no DataFrame backed by one of
-    these dirs (dedup pair sets with cleanup=True, cache=False index
-    snapshots) is still live — their next scan would fail.  The hook for
-    long-lived drivers (streaming ingest loops, services) where waiting
-    for the after-exit dead-process sweep means unbounded tempdir — or,
-    with a tmpfs TMPDIR, RAM — growth (review finding r4)."""
+    these dirs (dedup pair sets with cleanup=True) is still live — their
+    next scan would fail.  The hook for long-lived drivers (streaming
+    ingest loops, services) where waiting for the after-exit
+    dead-process sweep means unbounded tempdir — or, with a tmpfs
+    TMPDIR, RAM — growth (review finding r4).
+
+    Owner-managed dirs are excluded: cache=False index snapshots belong
+    to InvertedIndex.release(), and the IVF layouts backing
+    plans/textqueries._IVF_CACHE are evicted HERE by clearing that cache
+    first (its entries hold only lazy readers, so dropping them makes
+    the delete safe and later emb_ivf_* calls rebuild — ADVICE r4: the
+    sweep used to delete the parquet out from under the live cache)."""
     import shutil
 
+    from terrier_spark.plans import textqueries
+
     n = 0
+    for _, entry in list(textqueries._IVF_CACHE.items()):
+        path = entry[3] if len(entry) > 3 else None
+        if path and "://" not in path:
+            shutil.rmtree(path, ignore_errors=True)
+            n += 1
+    textqueries._IVF_CACHE.clear()
     while _UNIQ_DIRS:
         d = _UNIQ_DIRS.pop()
         if "://" in d:

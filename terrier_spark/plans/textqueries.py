@@ -399,13 +399,21 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     part files a still-held reader from the other entry lazily scans,
     and doubling the k-means + write cost per correctness run (review
     finding r4).  Cache entries hold only lazy readers and a small
-    centroid array, so eviction needs no unpersist."""
+    centroid array, so eviction needs no unpersist — but each entry
+    OWNS its layout dir (owned=True, exempt from the transient-dir
+    sweep): eviction deletes it here, and release_uniq_scratch()
+    clears this cache before any delete so a sweep can never strand
+    live cached readers over missing parquet (ADVICE r4)."""
+    import shutil
+
     from terrier_spark.plans.relational import _scratch_dir_uniq
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_CACHE:
         while len(_IVF_CACHE) >= _IVF_CACHE_MAX:
-            _IVF_CACHE.pop(next(iter(_IVF_CACHE)))
+            _, _, _, old_path = _IVF_CACHE.pop(next(iter(_IVF_CACHE)))
+            if old_path and "://" not in old_path:
+                shutil.rmtree(old_path, ignore_errors=True)
         e = load_table(spark, sf_dir, "embeddings")
         qvec = (
             e.filter(F.col("vec_id") == KNN_QUERY_VEC_ID)
@@ -415,11 +423,11 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
         cents = similarity.train_centroids(e, n_centroids=8, sample=512)
         assigned = similarity.ivf_assign(e, cents)
         path = _scratch_dir_uniq(
-            f"ivf_index_{sf_dir.strip('/').replace('/', '_')}"
+            f"ivf_index_{sf_dir.strip('/').replace('/', '_')}", owned=True
         )
         similarity.write_ivf_index(assigned, cents, path)
         vecs, cents_loaded = similarity.load_ivf_index(spark, path)
-        _IVF_CACHE[key] = (vecs, cents_loaded, list(qvec))
+        _IVF_CACHE[key] = (vecs, cents_loaded, list(qvec), path)
     return _IVF_CACHE[key]
 
 
@@ -431,7 +439,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_ivf_full below drives the identical code path exhaustively
     under an exact oracle.  Executes against the written
     cluster-partitioned layout: the probe reads 3/8 of the files."""
-    vecs, cents, qvec = _ivf_index(spark, sf_dir)
+    vecs, cents, qvec, _ = _ivf_index(spark, sf_dir)
     return similarity.ivf_topk(vecs, cents, qvec, k=25, nprobe=3)
 
 
@@ -442,7 +450,7 @@ def emb_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assignment, partitioned write/reload, probe union, per-bucket
     scoring, heap merge) end to end; emb_ivf_topk above keeps the
     approximate configuration."""
-    vecs, cents, qvec = _ivf_index(spark, sf_dir)
+    vecs, cents, qvec, _ = _ivf_index(spark, sf_dir)
     return similarity.ivf_topk(vecs, cents, qvec, k=25, nprobe=8)
 
 

@@ -12,6 +12,18 @@ flushes idle users' open sessions.
 Tests drive the operator over the events parquet as an
 availableNow file stream and assert the CLOSED-session results equal
 the batch window-function plan — the streaming/batch parity contract.
+
+Known divergence (ADVICE r4): the idle-flush timer is PROCESSING-time,
+so on a long-running stream a user whose next event arrives more than
+the timeout after the previous MICRO-BATCH — but within ``gap_s`` of
+last_ts in EVENT time — gets one batch-semantics session split into
+two closed sessions.  The availableNow tests hold parity because they
+drain before the 1800 s timers fire; exact gap-session parity on an
+unbounded stream needs EventTimeTimeout keyed to a watermark
+(timestamp-typed state + ``GroupStateTimeout.EventTimeTimeout``),
+which trades the idle-flush guarantee: a stalled SOURCE then never
+closes sessions.  The processing-time choice is deliberate for the
+ingest-monitoring use here; pick per workload.
 """
 
 from __future__ import annotations

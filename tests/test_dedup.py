@@ -298,8 +298,15 @@ def test_release_uniq_scratch_reclaims_pair_sets(spark, docs):
 
     from terrier_spark.plans import relational as R
 
+    from terrier_spark.plans import textqueries as T
+
     saved = R._UNIQ_DIRS[:]
     del R._UNIQ_DIRS[:]
+    # The sweep also evicts+deletes the IVF layout cache (ADVICE r4);
+    # park other tests' entries so their dirs survive and the count
+    # below sees only this test's pair-set dirs.
+    saved_ivf = dict(T._IVF_CACHE)
+    T._IVF_CACHE.clear()
     try:
         pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, num_perm=16, bands=8)
         pairs.count()
@@ -307,6 +314,8 @@ def test_release_uniq_scratch_reclaims_pair_sets(spark, docs):
         assert created and all(os.path.isdir(d) for d in created)
         assert R.release_uniq_scratch() == len(created)
         assert not R._UNIQ_DIRS
+        assert not T._IVF_CACHE
         assert all(not os.path.exists(d) for d in created)
     finally:
         R._UNIQ_DIRS.extend(saved)
+        T._IVF_CACHE.update(saved_ivf)

@@ -191,6 +191,12 @@ def test_cache_false_release_reclaims_snapshot(spark, corpus_sdf, oracle_index):
     idx = build_index(docs, id_col="doc_id", text_col="content", cache=False)
     assert idx.scratch_dirs, "shuffle-strategy cache=False build must record its snapshot"
     assert all(os.path.isdir(d) for d in idx.scratch_dirs)
+    # OWNED by the index, exempt from the transient-dir sweep: a driver
+    # calling release_uniq_scratch() for frames IT holds must not delete
+    # the snapshot under this live index (ADVICE r4)
+    from terrier_spark.plans import relational as R
+
+    assert not (set(idx.scratch_dirs) & set(R._UNIQ_DIRS))
     # index is fully queryable while the snapshot lives
     got = bm25_topk_exploded(idx, "int return", 10).collect()
     exp = oracle_bm25(oracle_index, "int return", 10)

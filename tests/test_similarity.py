@@ -186,3 +186,26 @@ def test_ivf_entry_layout_memoized(spark):
     a = T._ivf_index(spark, SF_DIR)
     b = T._ivf_index(spark, SF_DIR)
     assert a is b
+
+
+def test_release_uniq_scratch_invalidates_ivf_cache(spark):
+    """ADVICE r4: release_uniq_scratch() used to delete the IVF layout
+    parquet while plans/textqueries._IVF_CACHE still held lazy readers
+    over it — a driver honoring the documented contract for ITS frames
+    broke later emb_ivf_* calls.  Now the sweep clears the cache (and
+    deletes the layouts it owned), so the next call REBUILDS and
+    queries cleanly."""
+    import os
+
+    from terrier_spark.plans import relational as R
+    from terrier_spark.plans import textqueries as T
+
+    a = T._ivf_index(spark, SF_DIR)
+    path_a = a[3]
+    assert os.path.isdir(path_a)
+    R.release_uniq_scratch()
+    assert not T._IVF_CACHE
+    assert not os.path.exists(path_a)
+    b = T._ivf_index(spark, SF_DIR)
+    assert b is not a
+    assert T.emb_ivf_full(spark, SF_DIR).count() == 25
