@@ -4,15 +4,16 @@ entry(spark)   — flagship: end-to-end inverted-index build + BM25 top-10
                  over the sf0.001 documents table.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  the training-data pipeline ops).
-oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible entry
-                 (terrier_spark/plans/oracles.py).  The ONE rows-only
-                 entry is emb_ivf_topk (genuinely approximate ANN whose
-                 output depends on a seeded k-means sample; recall is
-                 pytest-asserted and emb_ivf_full certifies the same
-                 code path exhaustively under an exact oracle).  The
-                 hash-seeded dedup/LSH entries are sized for recall 1.0
-                 at test scale and verified against exact brute-force
-                 oracles.
+oracle_sql()   — DuckDB-equivalent SQL for EVERY entry
+                 (terrier_spark/plans/oracles.py).  emb_ivf_topk —
+                 formerly the one rows-only entry — publishes its
+                 seeded-k-means centroids as parquet and its oracle
+                 recomputes cluster assignment, nprobe selection, and
+                 the cosine top-k from them independently; only the
+                 centroid values (ANN structure parameters) come from
+                 the engine.  The hash-seeded dedup/LSH entries are
+                 sized for recall 1.0 at test scale and verified
+                 against exact brute-force oracles.
 """
 
 from __future__ import annotations

@@ -965,6 +965,97 @@ LIMIT 25
 # contract as the brute-force cosine top-k.
 ORACLES["emb_ivf_full"] = ORACLES["emb_cosine_topk"]
 
+# ---------------------------------------------------- IVF probe oracle
+#
+# emb_ivf_topk was the one driver entry without an exact oracle (its
+# centroids come from a seeded k-means no SQL can replay).  VERDICT r4
+# item 1: the centroids are DATA, not semantics — the entry PUBLISHES
+# them (publish_ivf_centroids, an atomic single-file parquet at a path
+# fixed at import time), and the oracle recomputes EVERYTHING
+# downstream of them from first principles:
+#   assignment  — per-vector argmin of Euclidean distance over the
+#                 published centroids (ties → lowest cluster, matching
+#                 np.argmin's first-min), certifying ivf_assign AND the
+#                 partitioned write/reload round-trip;
+#   probe set   — the nprobe=3 centroids nearest the query vector
+#                 (ties → lowest cluster, matching stable np.argsort);
+#   result      — exact cosine top-25 over vectors assigned to probed
+#                 clusters, same rounding/tie-break as every cosine
+#                 oracle.
+# The only trust left in Spark is the centroid VALUES themselves —
+# parameters of the ANN structure, like a query constant.  list_distance
+# is Euclidean (monotone in the squared distance numpy minimizes).
+
+IVF_PUB_PATH = None  # set below; embedded in the SQL at import time
+
+
+def _ivf_pub_path() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"terrier_spark_ivf_pub_{os.getuid()}.parquet"
+    )
+
+
+IVF_PUB_PATH = _ivf_pub_path()
+
+
+def publish_ivf_centroids(centroids) -> str:
+    """Atomically publish the trained centroids (float64) as one parquet
+    file at IVF_PUB_PATH so the emb_ivf_topk oracle can read them.
+    Called by the entry on every invocation — 8 rows, driver-side
+    pyarrow, no Spark job; os.replace keeps concurrent readers off a
+    half-written file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "cluster": pa.array(range(len(centroids)), pa.int32()),
+            "centroid": pa.array(
+                [[float(x) for x in c] for c in centroids],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    tmp = f"{IVF_PUB_PATH}.tmp.{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, IVF_PUB_PATH)
+    return IVF_PUB_PATH
+
+
+ORACLES["emb_ivf_topk"] = f"""
+WITH cents AS (
+    SELECT cluster, CAST(centroid AS DOUBLE[]) AS centroid
+    FROM read_parquet('{IVF_PUB_PATH}')
+), q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), probe AS (
+    SELECT c.cluster
+    FROM cents c, q
+    ORDER BY list_distance(c.centroid, q.qv), c.cluster
+    LIMIT 3
+), assign AS (
+    SELECT vec_id, embedding, cluster,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_distance(CAST(embedding AS DOUBLE[]), centroid),
+                        cluster
+           ) AS rn
+    FROM embeddings CROSS JOIN cents
+)
+SELECT a.vec_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.qv),
+             9)::DOUBLE AS cos
+FROM assign a, q
+WHERE a.rn = 1 AND a.cluster IN (SELECT cluster FROM probe)
+ORDER BY cos DESC, a.vec_id
+LIMIT 25
+"""
+
 ORACLES["emb_knn_per_label"] = """
 WITH scored AS (
     SELECT label, vec_id,

@@ -100,13 +100,13 @@ def test_q19_disjunction_reaches_scan(spark):
 
 
 def test_every_query_entry_has_oracle_or_is_documented():
-    """Driver-contract sync: every queries() entry carries an oracle
-    except the single documented rows-only ANN entry."""
+    """Driver-contract sync: EVERY queries() entry carries an oracle —
+    r5 closed the last exception (emb_ivf_topk's published-centroid
+    oracle)."""
     import __spark_entry__ as E
 
     qs, os_ = E.queries(), E.oracle_sql()
-    no_oracle = set(qs) - set(os_)
-    assert no_oracle == {"emb_ivf_topk"}, no_oracle
+    assert not (set(qs) - set(os_)), set(qs) - set(os_)
     assert not (set(os_) - set(qs)), "orphan oracle keys"
 
 
