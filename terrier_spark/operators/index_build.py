@@ -101,6 +101,14 @@ class InvertedIndex:
     # snapshot the ranged ids there).  Owned by the index: release()
     # reclaims them, after which the index must not be queried again.
     scratch_dirs: tuple = ()
+    # Vocabulary size (lexicon row count).  Known at build time for free
+    # (count_distinct(term) rides the block-stats agg) and persisted in
+    # stats.json, so the scorer's driver-lexicon-cache gate never pays a
+    # count() job on the first warm query (VERDICT r4 item 5).  None for
+    # merged indexes (their lexicon is a lazy groupBy — no job runs at
+    # merge time) and pre-r5 stats.json files: the scorer falls back to
+    # one count() there.
+    n_terms: int | None = None
 
     def __post_init__(self):
         if self.docno_limit is None:
@@ -904,8 +912,14 @@ def _build_index_aligned(
         # sortWithinPartitions is narrow — no shuffle, partition
         # membership (and doc-whole-per-partition) unchanged.
         blocks = blocks.sortWithinPartitions("term", "bucket").persist()
-    stats_row = blocks.agg(F.count("*"), F.sum("sum_tf")).collect()[0]
+    # count_distinct(term) = the lexicon's row count, read off the SAME
+    # action as the other collection stats — so the scorer's driver
+    # cache gate needs no count() job later (VERDICT r4 item 5).
+    stats_row = blocks.agg(
+        F.count("*"), F.sum("sum_tf"), F.count_distinct("term")
+    ).collect()[0]
     num_tokens = int(stats_row[1] or 0)
+    n_terms = int(stats_row[2] or 0)
     avgdl = num_tokens / num_docs if num_docs else 0.0
     if _prof:
         print(
@@ -945,6 +959,7 @@ def _build_index_aligned(
         bucket_span=span,
         stem=stem,
         positions=positions,
+        n_terms=n_terms,
     )
 
 
@@ -1038,8 +1053,14 @@ def build_index(
     # lexicon stays lazy until a query touches it.
     if cache:
         blocks = blocks.persist()
-    stats_row = blocks.agg(F.count("*"), F.sum("sum_tf")).collect()[0]
+    # count_distinct(term) = the lexicon's row count, read off the SAME
+    # action as the other collection stats — so the scorer's driver
+    # cache gate needs no count() job later (VERDICT r4 item 5).
+    stats_row = blocks.agg(
+        F.count("*"), F.sum("sum_tf"), F.count_distinct("term")
+    ).collect()[0]
     num_tokens = int(stats_row[1] or 0)
+    n_terms = int(stats_row[2] or 0)
     if _prof:
         print(
             f"[build] kernel->blocks+stats: {_time.monotonic()-_t0:.2f}s",
@@ -1076,6 +1097,7 @@ def build_index(
         bucket_span=span,
         stem=stem,
         scratch_dirs=(snap,) if snap else (),
+        n_terms=n_terms,
     )
 
 
@@ -1107,7 +1129,8 @@ def index_from_postings(
     lex = lexicon_from_blocks(blocks)
     if cache:
         lex = lex.persist()
-    num_tokens = int(lex.agg(F.sum("cf")).collect()[0][0] or 0)
+    lex_row = lex.agg(F.sum("cf"), F.count("*")).collect()[0]
+    num_tokens = int(lex_row[0] or 0)
     doclens = null_rows.select("doc_id", F.col("dl").alias("doclen"))
     return InvertedIndex(
         docmap=docmap,
@@ -1120,6 +1143,7 @@ def index_from_postings(
         avgdl=num_tokens / num_docs if num_docs else 0.0,
         bucket_span=span,
         scratch_dirs=(snap,) if snap else (),
+        n_terms=int(lex_row[1] or 0),
     )
 
 
@@ -1277,6 +1301,7 @@ def write_index(
                 "stem": index.stem,
                 "positions": index.positions,
                 "docno_limit": index.docno_limit,
+                "n_terms": index.n_terms,
             },
             f,
         )
@@ -1308,4 +1333,5 @@ def load_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
         stem=bool(meta.get("stem", False)),
         positions=bool(meta.get("positions", False)),
         docno_limit=meta.get("docno_limit"),  # None (pre-field index) -> num_docs
+        n_terms=meta.get("n_terms"),  # None (pre-r5 index) -> count() fallback
     )

@@ -134,3 +134,42 @@ def test_aqe_window_is_refcounted_not_serialized(spark):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, orig)
+
+
+def test_lexicon_cache_gate_reads_meta_not_a_count_job(
+    spark, corpus_sdf, tmp_path
+):
+    """VERDICT r4 item 5: the vocabulary size is computed for free on
+    the build's own stats action (count_distinct(term) in the same agg)
+    and persisted in stats.json, so the scorer's driver-lexicon-cache
+    gate never launches a count() job on the first warm query.
+    Poison-pill the lexicon handle's count to prove the gate no longer
+    calls it, on both a fresh build and a written/loaded index; a
+    merged index (lazy lexicon — vocab size genuinely unknown) keeps
+    the documented fallback."""
+    from terrier_spark.operators import score
+    from terrier_spark.operators.index_build import (
+        build_index, load_index, merge_indexes, write_index,
+    )
+
+    def boom():
+        raise AssertionError("lexicon.count() ran: gate ignored n_terms")
+
+    idx = build_index(corpus_sdf)
+    assert idx.n_terms == idx.lexicon.count()  # meta IS the vocab size
+    idx.lexicon.count = boom  # instance attr shadows the method
+    dfs = score._lexicon_dfs(idx, ["int", "return", "zzz_absent"])
+    assert dfs["int"] > 0 and "zzz_absent" not in dfs
+
+    out = str(tmp_path / "nterms_idx")
+    idx.lexicon.count = None
+    del idx.lexicon.count
+    write_index(idx, out)
+    loaded = load_index(spark, out)
+    assert loaded.n_terms == idx.n_terms  # round-trips through stats.json
+    loaded.lexicon.count = boom
+    assert score._lexicon_dfs(loaded, ["int"])["int"] == dfs["int"]
+
+    merged = merge_indexes(idx, loaded)
+    assert merged.n_terms is None  # lazy lexicon: honest unknown
+    assert score._lexicon_dfs(merged, ["int"])["int"] == 2 * dfs["int"]
