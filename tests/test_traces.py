@@ -245,3 +245,46 @@ def test_catalog_trace_analog(spark):
     finally:
         for t in created:
             spark.sql(f"DROP TABLE IF EXISTS default.{t}")
+
+
+def test_quantified_all_some_rewrites(spark):
+    """op-ALL/SOME rewrite duals of the shipped op-ANY identities
+    (VERDICT r4 item 2).  The reference corpus contains no op-ALL/SOME
+    queries to validate against, so this synthetic trace drives every
+    operator × quantifier × set-shape combination through the SAME
+    replay loop: DuckDB executes the ORIGINAL quantified form as the
+    oracle, Spark the rewrite — covering the empty-set (ALL = TRUE),
+    NULL-in-set (never TRUE), and NULL-lhs corners the COUNT(*) guards
+    in SPARK_REWRITES exist for."""
+    from trace_replay import replay_records
+
+    stmts = [
+        ("statement_ok", "CREATE TABLE qt (a INT, b INT)"),
+        (
+            "statement_ok",
+            "INSERT INTO qt VALUES (1, 10), (2, 20), (3, 30), "
+            "(4, NULL), (NULL, 5)",
+        ),
+        ("statement_ok", "CREATE TABLE qs (v INT)"),
+        ("statement_ok", "INSERT INTO qs VALUES (2), (3)"),
+        ("statement_ok", "CREATE TABLE qn (v INT)"),
+        ("statement_ok", "INSERT INTO qn VALUES (2), (NULL)"),
+        ("statement_ok", "CREATE TABLE qe (v INT)"),  # stays empty
+    ]
+    queries = [
+        (
+            "query",
+            f"SELECT a FROM qt WHERE a {op} {quant} "
+            f"(SELECT v FROM {src}) ORDER BY a",
+        )
+        for op in ("=", "!=", "<>", "<", "<=", ">", ">=")
+        for quant in ("ALL", "SOME", "ANY")
+        for src in ("qs", "qn", "qe")
+    ]
+    res = replay_records(spark, stmts + queries, "synthetic-quantifiers")
+    detail = "\n".join(
+        f"  {' '.join(sql.split())[:100]} | {d[:120]}" for sql, d in res.failures
+    )
+    assert not res.failures, f"{len(res.failures)} mismatches\n{detail}"
+    assert not res.skipped and not res.no_oracle
+    assert res.passed == res.queries == len(queries)

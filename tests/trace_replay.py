@@ -47,17 +47,13 @@ TRACE_DIR = "/root/reference/script/testing/junit/traces"
 # the Spark side.  Keep this list SHORT and documented — every entry is
 # surface we intentionally don't cover.
 SKIP_PATTERNS: list[tuple[str, str]] = [
-    (
-        r"(=|!=|<>|<=|>=|<|>)\s*(ALL|SOME)\s*\(",
-        "quantified-comparison subquery (op ALL/SOME) — no Spark SQL "
-        "syntax and no trace coverage to validate a rewrite against "
-        "(op ANY appears in the traces and IS rewritten, see "
-        "SPARK_REWRITES)",
-    ),
     # NOTE: LIKE patterns with backslashes, left/right with negative
-    # lengths, op-ANY subqueries, and NULL-skipping concat() are all
-    # handled by SPARK_REWRITES identities below instead of being
-    # skipped — the DuckDB oracle validates each rewrite.
+    # lengths, quantified ANY/SOME/ALL subqueries, and NULL-skipping
+    # concat() are all handled by SPARK_REWRITES identities below
+    # instead of being skipped — the DuckDB oracle validates each
+    # rewrite (the op-ALL/SOME duals, absent from the trace corpus, are
+    # exercised by the synthetic quantifier trace in tests/test_traces
+    # through this same replay loop).
     (
         r"split_part\(str_a_val, 'd', 1\) AS result FROM functions1 WHERE is_null = 1",
         "split_part over NULL input: Spark follows Postgres (strict — "
@@ -91,29 +87,64 @@ SPARK_REWRITES: list[tuple[str, str]] = [
     # NoisePage's truncate(x) = truncate-toward-zero; Spark has no
     # numeric trunc — cast through BIGINT (the trace values fit)
     (r"\btruncate\(([^()]*)\)", r"CAST(CAST(\1 AS BIGINT) AS DOUBLE)"),
-    # Quantified ANY subqueries (Spark has no op ANY(...) syntax):
-    # identities over a single-column, paren-free subquery body — the
-    # shapes in the trace corpus.  The DuckDB oracle executes the
-    # ORIGINAL quantified form, so the cross-engine diff VALIDATES each
-    # rewrite rather than trusting it.  Empty-subquery semantics match
-    # (ANY over empty = false; MIN/MAX over empty = NULL => non-true
-    # comparison).  != ANY must run before the bare = rule (its pattern
-    # would otherwise swallow the '='); >=/<= carry '=' too, so the
-    # bare = rule uses a lookbehind.
+    # Quantified ANY/SOME/ALL subqueries (Spark has no op ANY(...)
+    # syntax): identities over a single-column, paren-free subquery
+    # body — the shapes in the trace corpus.  The DuckDB oracle
+    # executes the ORIGINAL quantified form, so the cross-engine diff
+    # VALIDATES each rewrite rather than trusting it.  Empty-subquery
+    # semantics match for ANY (false; MIN/MAX over empty = NULL =>
+    # non-true comparison); the ALL duals (VERDICT r4 item 2) must make
+    # empty = TRUE and NULL-in-set = non-true explicit, so they carry
+    # the COUNT(*) guards — identities exact in WHERE/HAVING context,
+    # where UNKNOWN and FALSE both exclude the row (every quantified
+    # trace/test site is a WHERE).  != ALL ⇔ NOT IN and = ANY ⇔ IN are
+    # exact in full three-valued logic.  != rules must run before the
+    # bare = rules (the pattern would otherwise swallow the '=');
+    # >=/<= carry '=' too, so the bare = rules use a lookbehind.
+    # SOME is the standard's synonym for ANY.
     (
-        r"([\w.]+)\s*(?:!=|<>)\s*ANY\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
+        r"([\w.]+)\s*(?:!=|<>)\s*(?:ANY|SOME)\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
         r"((SELECT MIN(__v) FROM (SELECT \3 AS __v \4) __any1) != \1"
         r" OR (SELECT MAX(__v) FROM (SELECT \3 AS __v \4) __any2) != \1)",
     ),
     (
-        r"(>=|>)\s*ANY\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
+        r"(>=|>)\s*(?:ANY|SOME)\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
         r"\1 (SELECT MIN(__v) FROM (SELECT \3 AS __v \4) __any)",
     ),
     (
-        r"(<=|<)\s*ANY\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
+        r"(<=|<)\s*(?:ANY|SOME)\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
         r"\1 (SELECT MAX(__v) FROM (SELECT \3 AS __v \4) __any)",
     ),
-    (r"(?<![!<>])=\s*ANY\s*\(", " IN ("),
+    (r"(?<![!<>])=\s*(?:ANY|SOME)\s*\(", " IN ("),
+    # x != ALL (S) ⇔ x NOT IN (S): exact three-valued identity.
+    (r"(?:!=|<>)\s*ALL\s*\(", " NOT IN ("),
+    # x op ALL (S) for op in {>, >=, <, <=, =}: TRUE iff S is empty, or
+    # S has no NULLs and the comparison holds against the extremum
+    # (MAX for >/>=, MIN for </<=, both for =).  A NULL x falls through
+    # the extremum comparison to UNKNOWN, matching op-ALL semantics in
+    # row-filter position.
+    (
+        r"([\w.]+)\s*(>=|>)\s*ALL\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
+        r"((SELECT COUNT(*) FROM (SELECT \4 AS __v \5) __qa1) = 0"
+        r" OR (\1 \2 (SELECT MAX(__v) FROM (SELECT \4 AS __v \5) __qa2)"
+        r" AND (SELECT COUNT(*) FROM (SELECT \4 AS __v \5) __qa3)"
+        r" = (SELECT COUNT(__v) FROM (SELECT \4 AS __v \5) __qa4)))",
+    ),
+    (
+        r"([\w.]+)\s*(<=|<)\s*ALL\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
+        r"((SELECT COUNT(*) FROM (SELECT \4 AS __v \5) __qa1) = 0"
+        r" OR (\1 \2 (SELECT MIN(__v) FROM (SELECT \4 AS __v \5) __qa2)"
+        r" AND (SELECT COUNT(*) FROM (SELECT \4 AS __v \5) __qa3)"
+        r" = (SELECT COUNT(__v) FROM (SELECT \4 AS __v \5) __qa4)))",
+    ),
+    (
+        r"([\w.]+)\s*(?<![!<>])=\s*ALL\s*\(\s*(select)\s+([\w.]+)\s+(from\b[^()]*)\)",
+        r"((SELECT COUNT(*) FROM (SELECT \3 AS __v \4) __qa1) = 0"
+        r" OR (\1 = (SELECT MIN(__v) FROM (SELECT \3 AS __v \4) __qa2)"
+        r" AND \1 = (SELECT MAX(__v) FROM (SELECT \3 AS __v \4) __qa3)"
+        r" AND (SELECT COUNT(*) FROM (SELECT \3 AS __v \4) __qa4)"
+        r" = (SELECT COUNT(__v) FROM (SELECT \3 AS __v \4) __qa5)))",
+    ),
     # Postgres-family LIKE treats a backslash in the pattern literally;
     # Spark's default LIKE escape char IS the backslash (and it rejects
     # '\D' as an invalid escape).  Pin an explicit ESCAPE char that no
@@ -469,28 +500,58 @@ def _is_ordered(
     return True
 
 
+_INSERT = re.compile(r"INSERT\s+INTO\s+([\w.]+)", re.I)
+_UPDATE = re.compile(r"UPDATE\s+([\w.]+)", re.I)
+_DELETE = re.compile(r"DELETE\s+FROM\s+([\w.]+)", re.I)
+# Statements that cannot change any table's CONTENT (views need no
+# re-snapshot): secondary-index DDL and stats.
+_CONTENT_NEUTRAL = re.compile(r"\s*(CREATE|DROP)\s+INDEX\b|\s*ANALYZE\b", re.I)
+
+
+def _stmt_targets(sql: str, tables: set[str]) -> set[str]:
+    """Tables whose content the statement can change — the dirty-set
+    for the lazy view sync (VERDICT r4 item 8: the old global dirty
+    flag re-snapshotted EVERY table after each mutation, O(tables ×
+    mutations) Arrow transfers in the insert/update traces).  An
+    unrecognized statement shape conservatively dirties everything."""
+    s = sql.lstrip()
+    if _CONTENT_NEUTRAL.match(s):
+        return set()
+    for rx in (_CREATE, _INSERT, _UPDATE, _DELETE):
+        m = rx.match(s)
+        if m:
+            return {m.group(1)} if "." not in m.group(1) else set()
+    return set(tables)
+
+
 def replay_trace(spark, path: str) -> TraceResult:
+    return replay_records(spark, parse_trace(path), path.rsplit("/", 1)[-1])
+
+
+def replay_records(
+    spark, records: list[tuple[str, str]], name: str
+) -> TraceResult:
     con = duckdb.connect()
-    res = TraceResult(trace=path.rsplit("/", 1)[-1])
+    res = TraceResult(trace=name)
     tables: set[str] = set()
-    dirty = True
+    dirty: set[str] = set()  # tables whose Spark view is stale
 
     def sync():
-        nonlocal dirty
-        for t in sorted(tables):
+        for t in sorted(dirty & tables):
             tbl = con.execute(f'SELECT * FROM "{t}"').arrow()
             spark.createDataFrame(tbl).createOrReplaceTempView(t)
-        dirty = False
+        dirty.clear()
 
-    for kind, sql in parse_trace(path):
+    for kind, sql in records:
         if kind == "statement_error":
             # recorded as failing in the reference; the oracle may or
-            # may not reject the same way — execute and ignore.
+            # may not reject the same way — execute and ignore, but
+            # mark the targets stale in case it succeeded here.
             try:
                 con.execute(sql)
             except Exception:
                 pass
-            dirty = True
+            dirty |= _stmt_targets(sql, tables)
             continue
         if kind == "statement_ok":
             try:
@@ -509,8 +570,9 @@ def replay_trace(spark, path: str) -> TraceResult:
             m = _DROP.match(sql)
             if m and "." not in m.group(1):
                 tables.discard(m.group(1))
+                dirty.discard(m.group(1))
                 spark.catalog.dropTempView(m.group(1))
-            dirty = True
+            dirty |= _stmt_targets(sql, tables) & tables
             continue
         # query record
         res.queries += 1
