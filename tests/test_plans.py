@@ -174,3 +174,19 @@ def test_scratch_dir_sweeps_dead_and_recycled_pids():
     assert not os.path.isdir(recycled)
     assert not os.path.isdir(self_recycled)
     assert os.path.isdir(mine)
+
+
+def test_q_result_const_standalone(spark):
+    """The constant-tuple Result leg of q_dml_roundtrip, failing
+    independently of the DML and CSV legs (VERDICT r4 item 10: the
+    consolidated driver entry certifies three operator legs in one row;
+    each leg keeps its own localizing test — DML algebra in
+    tests/test_sources.py, CSV quote/escape in
+    test_csv_roundtrip_with_options / test_q_csv_scan_roundtrip, and
+    the Result node here)."""
+    rows = R.q_result_const(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.one, r.five, r.greeting, r.tau, r.upper_abc) == (
+        1, 5, "hello", 6.28, "ABC",
+    )
