@@ -221,6 +221,30 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # 20-query batch: the amortization curve the 100x-scale story rests
+    # on (VERDICT r4 item 6) — per-query cost should keep falling as the
+    # batch widens, because the scan/decode of the term-union postings
+    # is shared and only the per-query masked sums grow.
+    base_terms = (
+        "int return foo_bar baz template namespace std func defer "
+        "chan idx ptr val buf"
+    ).split()
+    queries20 = [
+        f"{base_terms[i % len(base_terms)]} {base_terms[(i * 7 + 3) % len(base_terms)]}"
+        for i in range(20)
+    ]
+    t0 = time.monotonic()
+    bm25_topk_batch(idx, {f"b{i}": q for i, q in enumerate(queries20)}, 10).collect()
+    batch20_s = time.monotonic() - t0
+    timings["ir_bm25_batch20_warm"] = round(batch20_s, 3)
+    total += batch20_s
+    print(
+        f"# bm25 batch (20 queries, one pass): {batch20_s:.3f}s = "
+        f"{batch20_s / 20:.3f}s/query (5-query batch: "
+        f"{batch_s / len(queries):.3f}s/query)",
+        file=sys.stderr,
+    )
+
     # Positional build + phrase-query rows (the r3 flagship feature was
     # previously untracked round-over-round — VERDICT r3 item 5): build
     # the SAME corpus with positions=True and run a phrase + proximity
@@ -228,6 +252,17 @@ def main() -> None:
     from terrier_spark.operators.phrase import (
         phrase_match_indexed, proximity_match_indexed,
     )
+
+    # The plain index's caches (blocks persists, lexicon, docmap, the
+    # scorer's lexicon driver cache) are dead weight from here on — drop
+    # them BEFORE the timed positional build so the row isn't charged
+    # GC/heap pressure from the previous rows' working set (the row is
+    # meant to track the BUILD, not the session's history; an isolated
+    # warm positional build measures ~1.1-1.3x the plain build, while
+    # this row intermittently read 2-6x inside the full bench session).
+    for h in (idx.blocks, idx.lexicon, idx.docmap):
+        if h is not None:
+            h.unpersist()
 
     t0 = time.monotonic()
     pidx = build_index(docs, id_col="doc_id", text_col="content", positions=True)
@@ -315,6 +350,42 @@ def main() -> None:
     )
     _shutil.rmtree(dml_path, ignore_errors=True)
 
+    # YCSB-B analog (95% point reads / 5% point updates — the
+    # reference's remaining OLTP nightly flight besides TPC-C,
+    # script/testing/oltpbench/configs/nightly/nightly.json; VERDICT r4
+    # item 9).  Spark is a batch engine, so the honest analog is the
+    # microbatched form a streaming upsert sink would execute: one
+    # 10,000-op batch = one broadcast-semi-join point-read of the 9,500
+    # read keys + one merge_upsert of the 500 updated rows.  ops/s is
+    # the batch op count over the batch wall time.
+    ycsb_path = _scratch_dir("bench_ycsb_orders")
+    _shutil.rmtree(ycsb_path, ignore_errors=True)
+    dml.create_table(orders, ycsb_path)
+    n_ops = 10_000
+    keys = orders.select("o_orderkey").limit(n_ops).collect()
+    read_keys = [r[0] for r in keys[: int(n_ops * 0.95)]]
+    upd_keys = [r[0] for r in keys[int(n_ops * 0.95):]]
+    read_df = spark.createDataFrame(
+        [(k,) for k in read_keys], "o_orderkey bigint"
+    )
+    t0 = time.monotonic()
+    tbl = spark.read.parquet(ycsb_path)
+    n_read = tbl.join(F.broadcast(read_df), "o_orderkey", "left_semi").count()
+    upd_rows = tbl.filter(F.col("o_orderkey").isin(upd_keys)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.02
+    )
+    dml.merge_upsert(spark, ycsb_path, upd_rows, ["o_orderkey"])
+    ycsb_s = time.monotonic() - t0
+    timings["dml_ycsb_b_mix"] = round(ycsb_s, 3)
+    total += ycsb_s
+    print(
+        f"# ycsb-b mix: {n_ops} ops ({n_read} reads hit, "
+        f"{len(upd_keys)} updates) in {ycsb_s:.2f}s = "
+        f"{n_ops / ycsb_s:.0f} ops/s",
+        file=sys.stderr,
+    )
+    _shutil.rmtree(ycsb_path, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline query wall-clock (relational + IR + dedup + similarity) & index-build throughput",
@@ -335,6 +406,12 @@ def main() -> None:
             "ops": 3,
             "seconds": round(dml_s, 3),
             "rows_per_sec": round(3 * n_orders / dml_s, 1),
+        },
+        "ycsb_b": {
+            "n_ops": n_ops,
+            "read_frac": 0.95,
+            "seconds": round(ycsb_s, 3),
+            "ops_per_sec": round(n_ops / ycsb_s, 1),
         },
     }
     print(json.dumps(out))

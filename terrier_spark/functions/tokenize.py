@@ -156,6 +156,25 @@ def tokenize_count_slice_pos(content, stem: bool = False):
     terms the stemmer conflates (positions always index RAW kept
     tokens).
     """
+    return _tokenize_pos_sorted(content, stem=stem, doc_major=True)
+
+
+def tokenize_count_slice_pos_coded(content, stem: bool = False):
+    """:func:`tokenize_count_slice_pos` with posting rows in
+    **(code, doc)** order instead of (doc, code).
+
+    This is the order the positional block encoder needs (blocks group
+    by term code, docnos ascending within a term), so the index build
+    consumes the sort output directly — no second posting-row sort and
+    no variable-length position-run permutation gather downstream
+    (those two steps were the bulk of the positional build's overhead
+    over the plain build).  ``pos_flat`` stays ascending within every
+    posting run: positions are stream-ordered within a doc and the
+    packed-key sort is stable."""
+    return _tokenize_pos_sorted(content, stem=stem, doc_major=False)
+
+
+def _tokenize_pos_sorted(content, stem: bool, doc_major: bool):
     doc_idx, codes, dl, vocab = _tokenize_encode_slice(content, stem=stem)
     if len(doc_idx) == 0:
         z = np.empty(0, dtype=np.int64)
@@ -164,14 +183,29 @@ def tokenize_count_slice_pos(content, stem: bool = False):
     # construction: docs are contiguous in the flattened token stream)
     doc_offs = np.concatenate(([0], np.cumsum(dl)[:-1]))
     pos = np.arange(len(doc_idx), dtype=np.int64) - doc_offs[doc_idx]
-    # ONE stable radix sort on a packed (doc, code) int64 key instead of
-    # a 3-key lexsort: pos is ascending in stream order within each doc,
-    # so stability alone keeps positions ascending within every
+    # ONE stable radix sort on a packed int64 key instead of a 3-key
+    # lexsort: pos is ascending in stream order within each doc, so
+    # stability alone keeps positions ascending within every
     # (doc, code) run — measured 4-7x faster (numpy's stable int sort is
     # LSD radix; lexsort is one mergesort per key).  Packing is exact:
     # doc_idx is a slice-local index and codes are non-negative
     # dictionary indices, both < 2^31.
-    key = (doc_idx.astype(np.int64) << 32) | codes.astype(np.int64)
+    # Key width matters: numpy's stable int sort is LSD radix, so a
+    # 32-bit packed key sorts ~2x faster than a 64-bit one.  Minor bits
+    # get exactly enough room for the minor key's range; fall back to
+    # 64-bit packing when (vocab size x slice docs) overflows int32.
+    n_docs = len(dl)
+    if doc_major:
+        minor_bits = int(len(vocab)).bit_length()
+        hi, lo = doc_idx, codes
+    else:
+        minor_bits = int(n_docs).bit_length()
+        hi, lo = codes, doc_idx
+    hi_max = n_docs if doc_major else len(vocab)
+    if (int(hi_max) << minor_bits) < (1 << 31):
+        key = (hi.astype(np.int32) << np.int32(minor_bits)) | lo.astype(np.int32)
+    else:
+        key = (hi.astype(np.int64) << np.int64(minor_bits)) | lo.astype(np.int64)
     order = np.argsort(key, kind="stable")
     d_s, c_s, p_s = doc_idx[order], codes[order], pos[order]
     grp = np.empty(len(d_s), dtype=bool)

@@ -30,6 +30,27 @@ def vbyte_encode_raw(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    vmax = int(v.max())
+    if vmax < (1 << 7):
+        # All single-byte (the common case for position/docno gap
+        # streams): the whole encode is ONE vectorized op.  The generic
+        # path below costs ~6x more in nbytes scans + masked scatters.
+        return (v.astype(np.uint8) | np.uint8(0x80)), np.ones(
+            v.size, dtype=np.int64
+        )
+    if vmax < (1 << 14):
+        # <=2-byte values: skip the per-shift nbytes loop and the
+        # per-byte-position scatter loop; two scatters total.
+        nbytes = np.ones(v.size, dtype=np.int64)
+        two = v >= np.uint64(1 << 7)
+        nbytes += two
+        ends = np.cumsum(nbytes)
+        starts = ends - nbytes
+        out = np.empty(int(ends[-1]), dtype=np.uint8)
+        b0 = (v & np.uint64(0x7F)).astype(np.uint8)
+        out[starts] = np.where(two, b0, b0 | np.uint8(0x80))
+        out[starts[two] + 1] = (v[two] >> np.uint64(7)).astype(np.uint8) | np.uint8(0x80)
+        return out, nbytes
     # Byte length of each value: 1 + number of 7-bit shifts still nonzero.
     nbytes = np.ones(v.size, dtype=np.int64)
     shifted = v >> np.uint64(7)

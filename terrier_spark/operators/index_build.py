@@ -703,35 +703,40 @@ def _encode_bucket_chunk(
     import pyarrow as pa
 
     from terrier_spark.functions.tokenize import (
-        tokenize_count_slice, tokenize_count_slice_pos,
+        tokenize_count_slice, tokenize_count_slice_pos_coded,
     )
 
     content = tbl.column(1)
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
-    pos_flat = None
+    pos_s = None
     if positions:
-        u_doc, u_code, tf, dl, vocab, pos_flat = tokenize_count_slice_pos(
+        # Code-major tokenizer output IS the block-encode order
+        # ((code asc, doc asc) with pos_flat aligned per posting run),
+        # so the positional path needs NO second posting-row sort and
+        # NO position-run permutation gather — the old (doc,code)-order
+        # tokenize + lexsort + np.repeat/fancy-gather pipeline was the
+        # bulk of the positional build's cost over the plain build
+        # (VERDICT r4 item 3).
+        u_doc, u_code, tf, dl, vocab, pos_s = tokenize_count_slice_pos_coded(
             content, stem=stem
         )
+        if len(u_doc) == 0:
+            return None
+        codes = u_code.astype(np.int64)
+        docno = start_docno + u_doc.astype(np.int64)
+        tf_s = tf.astype(np.int64)
+        dl_s = dl[u_doc].astype(np.int64)
     else:
         u_doc, u_code, tf, dl, vocab = tokenize_count_slice(content, stem=stem)
-    if len(u_doc) == 0:
-        return None
-    docno = start_docno + u_doc.astype(np.int64)
-    order = np.lexsort((docno, u_code))
-    codes = u_code[order].astype(np.int64)
-    docno = docno[order]
-    tf_s = tf[order].astype(np.int64)
-    dl_s = dl[u_doc][order].astype(np.int64)
-    pos_s = None
-    if pos_flat is not None:
-        # gather the variable-length position runs into the new posting
-        # order: out index k of run j reads pos_flat[src_start[j] + k]
-        src_start = np.concatenate(([0], np.cumsum(tf)[:-1])).astype(np.int64)
-        out_start = np.concatenate(([0], np.cumsum(tf_s)[:-1])).astype(np.int64)
-        delta = np.repeat(src_start[order] - out_start, tf_s)
-        pos_s = pos_flat[np.arange(len(pos_flat), dtype=np.int64) + delta]
+        if len(u_doc) == 0:
+            return None
+        docno = start_docno + u_doc.astype(np.int64)
+        order = np.lexsort((docno, u_code))
+        codes = u_code[order].astype(np.int64)
+        docno = docno[order]
+        tf_s = tf[order].astype(np.int64)
+        dl_s = dl[u_doc][order].astype(np.int64)
     m = len(codes)
     grp_change = np.empty(m, dtype=bool)
     grp_change[0] = True
