@@ -234,6 +234,47 @@ def cmd_query(args) -> None:
     spark.stop()
 
 
+def cmd_replica_ship(args) -> None:
+    """One replication round (pure manifest/segment file ops — no
+    SparkSession needed; see streaming/replica.py for the model)."""
+    from terrier_spark.streaming.replica import ship_result_json, ship_segments
+
+    res = ship_segments(args.primary, args.replica)
+    print(ship_result_json(res))
+
+
+def cmd_replica_query(args) -> None:
+    """Serve a BM25 top-k from a REPLICA's committed segments — a
+    second reader session (fresh process / SparkSession) independent of
+    the writer, the Spark analog of replica-served reads."""
+    from terrier_spark.session import get_spark
+    from terrier_spark.operators.score import bm25_topk_blocks
+    from terrier_spark.streaming.ingest import open_live_index
+    from terrier_spark.streaming.replica import replica_lag
+
+    spark = get_spark(app_name="terrier_spark_replica", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    idx = open_live_index(spark, args.replica)
+    t0 = time.monotonic()
+    rows = bm25_topk_blocks(idx, args.query, args.k).collect()
+    dt = time.monotonic() - t0
+    out = {
+        "op": "replica-query",
+        "query": args.query,
+        "k": args.k,
+        "seconds": round(dt, 3),
+        "num_docs": idx.num_docs,
+        "results": [
+            {"doc_id": r["doc_id"], "docno": r["docno"], "score": r["score"]}
+            for r in rows
+        ],
+    }
+    if args.primary:
+        out["lag"] = replica_lag(args.primary, args.replica)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def cmd_bench(args) -> None:
     """Same input, two parallelism levels, fresh JVM per run → scaling.
 
@@ -363,6 +404,20 @@ def main(argv=None) -> None:
     v.add_argument("--cores", type=int, default=None)
     v.add_argument("--show", type=int, default=5)
     v.set_defaults(fn=cmd_verify_index)
+
+    rs = sub.add_parser("replica-ship")
+    rs.add_argument("--primary", required=True)
+    rs.add_argument("--replica", required=True)
+    rs.set_defaults(fn=cmd_replica_ship)
+
+    rq = sub.add_parser("replica-query")
+    rq.add_argument("--replica", required=True)
+    rq.add_argument("--query", required=True)
+    rq.add_argument("-k", type=int, default=10)
+    rq.add_argument("--primary", default=None,
+                    help="also report replication lag vs this primary")
+    rq.add_argument("--cores", type=int, default=None)
+    rq.set_defaults(fn=cmd_replica_query)
 
     s = sub.add_parser("bench")
     s.add_argument("--n-docs", type=int, default=20000)
