@@ -67,6 +67,50 @@ def test_update_where(spark, small_table):
     assert t.filter((F.col("n_regionkey") != 1) & F.col("n_name").endswith("_UPDATED")).count() == 0
 
 
+def test_ycsb_b_mix_semantics(spark, sf_dir, tmp_path):
+    """Pytest backing for the ``dml_ycsb_b_mix`` bench row (VERDICT r4
+    item 9: the reference's remaining OLTP nightly flight,
+    script/testing/oltpbench/configs/nightly/nightly.json:11-60).  One
+    microbatch of the 95/5 read/update mix: the broadcast-semi point
+    read hits exactly the read keys, the merge updates exactly the
+    update keys, and every other row is byte-identical."""
+    path = str(tmp_path / "ycsb")
+    orders = load_table(spark, sf_dir, "orders")
+    create_table(orders, path)
+    keys = [r[0] for r in orders.select("o_orderkey").limit(40).collect()]
+    read_keys, upd_keys = keys[:38], keys[38:]
+
+    tbl = spark.read.parquet(path)
+    read_df = spark.createDataFrame(
+        [(k,) for k in read_keys], "o_orderkey bigint"
+    )
+    n_read = tbl.join(
+        F.broadcast(read_df), "o_orderkey", "left_semi"
+    ).count()
+    assert n_read == len(read_keys)
+
+    before = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in tbl.select("o_orderkey", "o_totalprice").collect()
+    }
+    upd_rows = tbl.filter(F.col("o_orderkey").isin(upd_keys)).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.02
+    )
+    merge_upsert(spark, path, upd_rows, ["o_orderkey"])
+
+    after_df = spark.read.parquet(path)
+    after = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in after_df.select("o_orderkey", "o_totalprice").collect()
+    }
+    assert after_df.count() == len(before)
+    for k, v in before.items():
+        if k in upd_keys:
+            assert after[k] == pytest.approx(v * 1.02)
+        else:
+            assert after[k] == v
+
+
 def test_merge_upsert(spark, small_table):
     t0 = spark.read.parquet(small_table)
     before = t0.count()
