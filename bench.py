@@ -358,33 +358,88 @@ def main() -> None:
     # 10,000-op batch = one broadcast-semi-join point-read of the 9,500
     # read keys + one merge_upsert of the 500 updated rows.  ops/s is
     # the batch op count over the batch wall time.
+    from terrier_spark.sources import oltp
+
     ycsb_path = _scratch_dir("bench_ycsb_orders")
     _shutil.rmtree(ycsb_path, ignore_errors=True)
     dml.create_table(orders, ycsb_path)
     n_ops = 10_000
-    keys = orders.select("o_orderkey").limit(n_ops).collect()
-    read_keys = [r[0] for r in keys[: int(n_ops * 0.95)]]
-    upd_keys = [r[0] for r in keys[int(n_ops * 0.95):]]
-    read_df = spark.createDataFrame(
-        [(k,) for k in read_keys], "o_orderkey bigint"
-    )
+    keys = [r[0] for r in orders.select("o_orderkey").limit(n_ops).collect()]
     t0 = time.monotonic()
-    tbl = spark.read.parquet(ycsb_path)
-    n_read = tbl.join(F.broadcast(read_df), "o_orderkey", "left_semi").count()
-    upd_rows = tbl.filter(F.col("o_orderkey").isin(upd_keys)).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 1.02
+    n_read = oltp.point_mix(
+        spark, ycsb_path, "o_orderkey",
+        keys[: int(n_ops * 0.95)], keys[int(n_ops * 0.95):],
+        "o_totalprice", 1.02,
     )
-    dml.merge_upsert(spark, ycsb_path, upd_rows, ["o_orderkey"])
     ycsb_s = time.monotonic() - t0
     timings["dml_ycsb_b_mix"] = round(ycsb_s, 3)
     total += ycsb_s
     print(
         f"# ycsb-b mix: {n_ops} ops ({n_read} reads hit, "
-        f"{len(upd_keys)} updates) in {ycsb_s:.2f}s = "
+        f"{n_ops - int(n_ops * 0.95)} updates) in {ycsb_s:.2f}s = "
         f"{n_ops / ycsb_s:.0f} ops/s",
         file=sys.stderr,
     )
     _shutil.rmtree(ycsb_path, ignore_errors=True)
+
+    # TATP analog (80% point reads / 20% point updates by subscriber
+    # key — reference nightly.json:11-19) over customer; same
+    # microbatched point_mix, the mix ratio is the workload.
+    tatp_path = _scratch_dir("bench_tatp_customer")
+    _shutil.rmtree(tatp_path, ignore_errors=True)
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    dml.create_table(customer, tatp_path)
+    tatp_ops = 10_000
+    ckeys = [
+        r[0] for r in customer.select("c_custkey").limit(tatp_ops).collect()
+    ]
+    t0 = time.monotonic()
+    oltp.point_mix(
+        spark, tatp_path, "c_custkey",
+        ckeys[: int(tatp_ops * 0.8)], ckeys[int(tatp_ops * 0.8):],
+        "c_acctbal", 1.01,
+    )
+    tatp_s = time.monotonic() - t0
+    timings["dml_tatp_mix"] = round(tatp_s, 3)
+    total += tatp_s
+    print(
+        f"# tatp mix: {tatp_ops} ops (80/20) in {tatp_s:.2f}s = "
+        f"{tatp_ops / tatp_s:.0f} ops/s",
+        file=sys.stderr,
+    )
+    _shutil.rmtree(tatp_path, ignore_errors=True)
+
+    # SmallBank analog (reference nightly.json:24-33): two-table
+    # SAVINGS/CHECKING schema, the published 5-transaction mix as one
+    # microbatch (Balance 60%, the four write txns 10% each).
+    sb_check = _scratch_dir("bench_sb_checking")
+    sb_save = _scratch_dir("bench_sb_savings")
+    for p in (sb_check, sb_save):
+        _shutil.rmtree(p, ignore_errors=True)
+    oltp.smallbank_setup(customer, sb_check, sb_save)
+    t0 = time.monotonic()
+    sb_ops = oltp.smallbank_mix(spark, sb_check, sb_save, ckeys)
+    sb_s = time.monotonic() - t0
+    timings["dml_smallbank_mix"] = round(sb_s, 3)
+    total += sb_s
+    print(
+        f"# smallbank mix: {sb_ops} ops (60/10/10/10/10) in {sb_s:.2f}s "
+        f"= {sb_ops / sb_s:.0f} ops/s",
+        file=sys.stderr,
+    )
+    for p in (sb_check, sb_save):
+        _shutil.rmtree(p, ignore_errors=True)
+
+    # NoOp analog (reference nightly.json:51-59): per-action scheduling
+    # floor — the fixed harness overhead under any microbatch rate.
+    # Reported as its own field, NOT added to the headline total (it is
+    # a latency floor, not work).
+    noop_s = oltp.noop_floor(spark, n_actions=20)
+    print(
+        f"# noop floor: {noop_s * 1000:.1f} ms/action (median of 20 "
+        f"empty one-task jobs)",
+        file=sys.stderr,
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -413,6 +468,18 @@ def main() -> None:
             "seconds": round(ycsb_s, 3),
             "ops_per_sec": round(n_ops / ycsb_s, 1),
         },
+        "tatp": {
+            "n_ops": tatp_ops,
+            "read_frac": 0.8,
+            "seconds": round(tatp_s, 3),
+            "ops_per_sec": round(tatp_ops / tatp_s, 1),
+        },
+        "smallbank": {
+            "n_ops": sb_ops,
+            "seconds": round(sb_s, 3),
+            "ops_per_sec": round(sb_ops / sb_s, 1),
+        },
+        "noop_floor_ms": round(noop_s * 1000, 2),
     }
     print(json.dumps(out))
     spark.stop()

@@ -5,6 +5,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from terrier_spark.sources import oltp
 from terrier_spark.sources.dml import (
     create_table, delete_where, insert_into, merge_upsert, update_where,
 )
@@ -80,23 +81,15 @@ def test_ycsb_b_mix_semantics(spark, sf_dir, tmp_path):
     keys = [r[0] for r in orders.select("o_orderkey").limit(40).collect()]
     read_keys, upd_keys = keys[:38], keys[38:]
 
-    tbl = spark.read.parquet(path)
-    read_df = spark.createDataFrame(
-        [(k,) for k in read_keys], "o_orderkey bigint"
-    )
-    n_read = tbl.join(
-        F.broadcast(read_df), "o_orderkey", "left_semi"
-    ).count()
-    assert n_read == len(read_keys)
-
     before = {
         r["o_orderkey"]: r["o_totalprice"]
-        for r in tbl.select("o_orderkey", "o_totalprice").collect()
+        for r in spark.read.parquet(path)
+        .select("o_orderkey", "o_totalprice").collect()
     }
-    upd_rows = tbl.filter(F.col("o_orderkey").isin(upd_keys)).withColumn(
-        "o_totalprice", F.col("o_totalprice") * 1.02
+    n_read = oltp.point_mix(
+        spark, path, "o_orderkey", read_keys, upd_keys, "o_totalprice", 1.02
     )
-    merge_upsert(spark, path, upd_rows, ["o_orderkey"])
+    assert n_read == len(read_keys)
 
     after_df = spark.read.parquet(path)
     after = {
@@ -109,6 +102,61 @@ def test_ycsb_b_mix_semantics(spark, sf_dir, tmp_path):
             assert after[k] == pytest.approx(v * 1.02)
         else:
             assert after[k] == v
+
+
+def test_smallbank_ops_conserve_and_apply(spark, sf_dir, tmp_path):
+    """SmallBank analog semantics (reference nightly flight,
+    nightly.json:24-33): Balance = checking + savings per key;
+    DepositChecking moves total funds by exactly n*amount; Amalgamate
+    conserves total funds while zeroing the amalgamated savings."""
+    check_p, save_p = str(tmp_path / "check"), str(tmp_path / "save")
+    customer = load_table(spark, sf_dir, "customer").limit(200)
+    oltp.smallbank_setup(customer, check_p, save_p)
+
+    keys = [r[0] for r in customer.select("c_custkey").limit(20).collect()]
+
+    def total(path):
+        return spark.read.parquet(path).agg(F.sum("bal")).collect()[0][0]
+
+    c0, s0 = total(check_p), total(save_p)
+
+    # Balance reads both tables
+    bal = {
+        r["custid"]: r["total_bal"]
+        for r in oltp.smallbank_balance(spark, check_p, save_p, keys).collect()
+    }
+    cmap = {
+        r["custid"]: r["bal"]
+        for r in spark.read.parquet(check_p).collect()
+    }
+    smap = {
+        r["custid"]: r["bal"]
+        for r in spark.read.parquet(save_p).collect()
+    }
+    assert set(bal) == set(keys)
+    for k in keys:
+        assert bal[k] == pytest.approx(cmap[k] + smap[k])
+
+    # DepositChecking adds exactly n*amount to checking, savings untouched
+    oltp.smallbank_deposit_checking(spark, check_p, keys[:5], 10.0)
+    assert total(check_p) == pytest.approx(c0 + 5 * 10.0)
+    assert total(save_p) == pytest.approx(s0)
+
+    # Amalgamate conserves the grand total and zeroes savings for its keys
+    g_before = total(check_p) + total(save_p)
+    oltp.smallbank_amalgamate(spark, check_p, save_p, keys[5:10])
+    assert total(check_p) + total(save_p) == pytest.approx(g_before)
+    zeroed = (
+        spark.read.parquet(save_p)
+        .filter(F.col("custid").isin(keys[5:10]))
+        .agg(F.sum(F.abs(F.col("bal")))).collect()[0][0]
+    )
+    assert zeroed == pytest.approx(0.0)
+
+    # WriteCheck is a negative deposit
+    cw = total(check_p)
+    oltp.smallbank_write_check(spark, check_p, keys[10:12], 7.5)
+    assert total(check_p) == pytest.approx(cw - 2 * 7.5)
 
 
 def test_merge_upsert(spark, small_table):
