@@ -54,7 +54,13 @@ def point_mix(
         [(int(k),) for k in read_keys], f"{key_col} bigint"
     )
     n_read = tbl.join(F.broadcast(read_df), key_col, "left_semi").count()
-    upd_rows = tbl.filter(F.col(key_col).isin(list(upd_keys))).withColumn(
+    # broadcast-join key selection, not isin(): the key set is a
+    # DataFrame either way, and a 10^6-key batch would otherwise become
+    # a 10^6-element In expression on the driver.
+    upd_df = spark.createDataFrame(
+        [(int(k),) for k in upd_keys], f"{key_col} bigint"
+    )
+    upd_rows = tbl.join(F.broadcast(upd_df), key_col, "left_semi").withColumn(
         upd_col, F.col(upd_col) * factor
     )
     merge_upsert(spark, path, upd_rows, [key_col])
@@ -171,7 +177,14 @@ def smallbank_mix(
 ) -> int:
     """One microbatch of the published 5-transaction SmallBank mix over
     disjoint key ranges: Balance reads on 60% of the keys, the four
-    write transactions each on 10%.  Returns the op count."""
+    write transactions each on 10%.  Returns the op count.
+
+    Because the write transactions' key ranges are disjoint, they
+    commute — the microbatch fuses them into ONE MERGE per table
+    (checking: deposit + write_check + amalgamate credit; savings:
+    transact + amalgamate zero), the same result as running them
+    sequentially (pinned against the per-transaction functions in
+    tests/test_sources.py) at two table rewrites instead of five."""
     n = len(keys)
     cut = [int(n * f) for f in (0.6, 0.7, 0.8, 0.9)]
     bal_k = keys[: cut[0]]
@@ -180,10 +193,33 @@ def smallbank_mix(
     wc_k = keys[cut[2]: cut[3]]
     am_k = keys[cut[3]:]
     smallbank_balance(spark, checking_path, savings_path, bal_k).count()
-    smallbank_deposit_checking(spark, checking_path, dep_k, 1.30)
-    smallbank_transact_savings(spark, savings_path, tx_k, 20.20)
-    smallbank_write_check(spark, checking_path, wc_k, 5.00)
-    smallbank_amalgamate(spark, checking_path, savings_path, am_k)
+
+    def kdf(ks, extra=None):
+        rows = [(int(k),) + ((extra,) if extra is not None else ()) for k in ks]
+        schema = "custid bigint" + (", delta double" if extra is not None else "")
+        return spark.createDataFrame(rows, schema)
+
+    c = spark.read.parquet(checking_path)
+    s = spark.read.parquet(savings_path)
+    am = kdf(am_k)
+    moved = s.join(F.broadcast(am), "custid", "inner").select(
+        "custid", F.col("bal").alias("delta")
+    )
+    c_deltas = kdf(dep_k, 1.30).unionByName(kdf(wc_k, -5.00)).unionByName(moved)
+    upd_c = c.join(F.broadcast(c_deltas), "custid", "inner").select(
+        "custid", (F.col("bal") + F.col("delta")).alias("bal")
+    )
+    merge_upsert(spark, checking_path, upd_c, ["custid"])
+    upd_s = (
+        s.join(F.broadcast(kdf(tx_k, 20.20).unionByName(am.withColumn(
+            "delta", F.lit(None).cast("double")))), "custid", "inner")
+        .select(
+            "custid",
+            F.when(F.col("delta").isNull(), F.lit(0.0))
+            .otherwise(F.col("bal") + F.col("delta")).alias("bal"),
+        )
+    )
+    merge_upsert(spark, savings_path, upd_s, ["custid"])
     return n
 
 

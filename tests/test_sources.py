@@ -159,6 +159,34 @@ def test_smallbank_ops_conserve_and_apply(spark, sf_dir, tmp_path):
     assert total(check_p) == pytest.approx(cw - 2 * 7.5)
 
 
+def test_smallbank_mix_fused_equals_sequential(spark, sf_dir, tmp_path):
+    """smallbank_mix fuses the four disjoint-key write transactions
+    into one MERGE per table; the result must equal applying the
+    per-transaction functions sequentially on an identical copy."""
+    customer = load_table(spark, sf_dir, "customer").limit(100)
+    a_c, a_s = str(tmp_path / "ac"), str(tmp_path / "as")
+    b_c, b_s = str(tmp_path / "bc"), str(tmp_path / "bs")
+    oltp.smallbank_setup(customer, a_c, a_s)
+    oltp.smallbank_setup(customer, b_c, b_s)
+
+    keys = [r[0] for r in customer.select("c_custkey").limit(50).collect()]
+    n = oltp.smallbank_mix(spark, a_c, a_s, keys)
+    assert n == len(keys)
+
+    cut = [int(len(keys) * f) for f in (0.6, 0.7, 0.8, 0.9)]
+    oltp.smallbank_deposit_checking(spark, b_c, keys[cut[0]: cut[1]], 1.30)
+    oltp.smallbank_transact_savings(spark, b_s, keys[cut[1]: cut[2]], 20.20)
+    oltp.smallbank_write_check(spark, b_c, keys[cut[2]: cut[3]], 5.00)
+    oltp.smallbank_amalgamate(spark, b_c, b_s, keys[cut[3]:])
+
+    for pa, pb in ((a_c, b_c), (a_s, b_s)):
+        da = {r["custid"]: r["bal"] for r in spark.read.parquet(pa).collect()}
+        db = {r["custid"]: r["bal"] for r in spark.read.parquet(pb).collect()}
+        assert set(da) == set(db)
+        for k in da:
+            assert da[k] == pytest.approx(db[k]), k
+
+
 def test_merge_upsert(spark, small_table):
     t0 = spark.read.parquet(small_table)
     before = t0.count()
