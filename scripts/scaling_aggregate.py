@@ -69,12 +69,28 @@ def summarize(label: str, reps: list[dict]) -> dict:
 
 
 def main() -> None:
-    out_doc: dict = {"op": "bench-scaling", "round": 4, "pairs": []}
-    for spec in sys.argv[1:]:
+    """label=path.jsonl args build pairs; an optional leading
+    ``--merge-into EXISTING.json`` keeps that artifact's pairs (new
+    pairs are prepended) so per-round additions don't need the original
+    JSONLs of already-committed pairs."""
+    args = sys.argv[1:]
+    existing: list[dict] = []
+    rnd = 4
+    if args and args[0] == "--merge-into":
+        doc = json.load(open(args[1]))
+        existing = doc.get("pairs", [])
+        rnd = doc.get("round", rnd)
+        args = args[2:]
+    out_doc: dict = {"op": "bench-scaling", "round": rnd, "pairs": []}
+    for spec in args:
+        if spec.startswith("--round="):
+            out_doc["round"] = int(spec.split("=", 1)[1])
+            continue
         label, path = spec.split("=", 1)
         reps = load(path)
         if reps:
             out_doc["pairs"].append(summarize(label, reps))
+    out_doc["pairs"].extend(existing)
     print(json.dumps(out_doc, indent=1))
 
 
