@@ -114,9 +114,10 @@ def _lexicon_dfs(index: InvertedIndex, terms: list[str]) -> dict[str, int]:
     """{term: df} for the given terms, via the per-index driver cache.
 
     The cacheability gate reads the vocabulary size off the index meta
-    (n_terms, computed for free on the build's own stats action and
-    persisted in stats.json) — the count() job is only the fallback for
-    indexes that genuinely don't know it (merges, pre-r5 stats files),
+    (n_terms, computed at build time by a one-column agg over the cached
+    blocks and persisted in stats.json) — the count() job is only the
+    fallback for indexes that genuinely don't know it (cache=False
+    builds, merges, pre-r5 stats files),
     so the first warm query on a built/loaded index launches zero extra
     jobs (VERDICT r4 item 5; job-count pinned in tests/test_bm25.py)."""
     cache = getattr(index, "_lex_df_cache", None)
