@@ -97,11 +97,12 @@ docs = spark.read.parquet(corpus)
 # warm-up build (JIT, Arrow init, python worker forks) — not measured
 idx = build_index(docs, id_col="doc_id", text_col="content")
 idx.blocks.count(); idx.blocks.unpersist(); idx.lexicon.unpersist()
-# TWO measured warm builds: per-level noise on this shared host is the
-# dominant error term, and min() of two is a far tighter estimator of
-# the level's capability than a single draw.
+# TWO measured warm builds by default (TS_SCALING_BUILDS overrides,
+# mirroring scripts/scaling_stages.py): per-level noise on this shared
+# host is the dominant error term, and min() of N draws is a far
+# tighter estimator of the level's capability than a single draw.
 walls = []
-for i in range(2):
+for i in range(int(os.environ.get("TS_SCALING_BUILDS", "2"))):
     spark.sparkContext.setJobGroup(f"measured{i}", f"measured build {i}")
     t0 = time.monotonic()
     idx = build_index(docs, id_col="doc_id", text_col="content")
