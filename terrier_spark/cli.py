@@ -184,6 +184,10 @@ def cmd_verify_index(args) -> None:
                 "violations": n_bad,
                 "status": "OK" if n_bad == 0 else "CORRUPT",
                 "collection_sha_digest": integrity.collection_sha_digest(fps),
+                # binding multiset digest (LtHash-16): adversarially
+                # collision-resistant and homomorphic — per-segment
+                # digests compose to this value via lthash_combine
+                "collection_lthash": integrity.lthash_digest(fps),
                 "sample": [
                     {"doc_id": r["doc_id"], "status": r["status"]} for r in sample
                 ],

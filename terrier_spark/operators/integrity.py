@@ -44,13 +44,26 @@ Threat model — what each layer actually guarantees:
     (Bellare–Micciancio, "A new paradigm for collision-free hashing:
     incrementality at reduced cost", EUROCRYPT '97, §attack on XHASH).
     When tamper-evidence against a malicious writer is required, run
-    the per-row verify (or hash sorted (doc_id, sha) pairs through one
-    sha256 stream, which is binding but not mergeable/O(1)).
+    the per-row verify — or compare ``lthash_digest`` below, the
+    BINDING order-independent digest (round-5 upgrade of this advice
+    item): a lattice multiset hash in the Bellare–Micciancio AdHash
+    family with the LtHash-16 parameterization (1024 lanes × 16 bits,
+    lane-wise sum mod 2^16 — Lewi/Kim/Maykov/Weis, "Securing Update
+    Propagation with Homomorphic Hashing", 2019).  Forging it requires
+    solving a random modular subset-sum in dimension 1024 (SIS-hard),
+    not a GF(2) linear system, and it keeps everything the XOR fold
+    had: order/partition independence, O(1) exchanged state, and
+    homomorphic combine/remove so per-segment digests compose to the
+    collection digest without a rescan.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+from typing import Iterator
+
+import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -114,6 +127,105 @@ def collection_sha_digest(fps: DataFrame, sha_col: str = "content_sha") -> str:
     See the module docstring's threat model."""
     row = fps.agg(*digest_word_aggs("doc_id", sha_col)).collect()[0]
     return fold_digest_row(row)
+
+
+# ------------------------------------------------------------------
+# Binding order-independent multiset digest (LtHash-16 construction)
+#
+# Per-row expansion stays in the string-sha256 domain on purpose so the
+# digest is recomputable by ANY engine with sha256 over strings (DuckDB
+# SQL twin in tests/test_integrity.py, hashlib twin below):
+#   base     = sha256_hex(doc_id || '\n' || coalesce(content_sha, ''))
+#              — the SAME per-row term the XOR digest binds, so the two
+#              digests commit to the same row identity
+#   block_i  = sha256_hex(base || ':' || i)   for i in 0..63
+#   lanes    = the 64 blocks' bytes as 1024 big-endian uint16 values
+#   digest   = lane-wise sum over all rows, each lane mod 2^16
+#
+# State is 2048 bytes (4096 hex chars).  Scale notes: the expansion is
+# ~65 short sha256 calls per row inside an Arrow-batched numpy kernel —
+# an audit-path cost (~60 µs/row/core), not a hot-path one; partials
+# are one 1024-long vector per PARTITION, so the driver merges
+# O(partitions), never O(rows).  combine/remove are lane-wise modular
+# add/subtract, which is what lets a replica check that shipped
+# segments compose to the primary's collection digest with zero data
+# movement (test_lthash_segment_composition).
+
+LTHASH_BLOCKS = 64
+LTHASH_LANES = LTHASH_BLOCKS * 16  # 1024 × 16-bit lanes = 2048 bytes
+LTHASH_IDENTITY = "0" * (LTHASH_LANES * 4)
+
+
+def _lthash_row_lanes(doc_id, content_sha) -> np.ndarray:
+    """uint64[1024] lane vector for one (doc_id, content_sha) row —
+    the hashlib twin of the Spark kernel AND of the DuckDB SQL oracle."""
+    key = f"{'' if doc_id is None else doc_id}\n" + (
+        "" if content_sha is None else str(content_sha)
+    )
+    base = hashlib.sha256(key.encode("utf-8")).hexdigest()
+    blocks = b"".join(
+        hashlib.sha256(f"{base}:{i}".encode()).digest()
+        for i in range(LTHASH_BLOCKS)
+    )
+    return np.frombuffer(blocks, dtype=">u2").astype(np.uint64)
+
+
+def _lanes_to_hex(lanes: np.ndarray) -> str:
+    return (lanes.astype(np.uint64) % 65536).astype(">u2").tobytes().hex()
+
+
+def _hex_to_lanes(digest: str) -> np.ndarray:
+    if len(digest) != LTHASH_LANES * 4:
+        raise ValueError(
+            f"lthash digest must be {LTHASH_LANES * 4} hex chars, got {len(digest)}"
+        )
+    return np.frombuffer(bytes.fromhex(digest), dtype=">u2").astype(np.uint64)
+
+
+def lthash_combine(a: str, b: str) -> str:
+    """Digest of the multiset UNION: lane-wise sum mod 2^16."""
+    return _lanes_to_hex(_hex_to_lanes(a) + _hex_to_lanes(b))
+
+
+def lthash_remove(a: str, b: str) -> str:
+    """Digest of the multiset DIFFERENCE (inverse of combine): removing
+    b's rows from a.  Only meaningful when b's rows are a sub-multiset
+    of a's."""
+    return _lanes_to_hex(_hex_to_lanes(a) + (65536 - (_hex_to_lanes(b) % 65536)))
+
+
+def lthash_digest(
+    fps: DataFrame, id_col: str = "doc_id", sha_col: str = "content_sha"
+) -> str:
+    """BINDING order-independent digest of a fingerprint multiset.
+    Equal digests ⇒ equal {(doc_id, sha)} multisets, adversarially:
+    finding two distinct multisets with one digest is a random modular
+    subset-sum / SIS instance in dimension 1024, unlike the forgeable
+    XOR fold (see module threat model).  Empty input → LTHASH_IDENTITY.
+
+    One mapInPandas pass emits a single partial-sum vector per
+    non-empty Arrow batch; the driver folds the partials.  No shuffle."""
+
+    def kernel(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for batch in it:
+            if not len(batch):
+                continue
+            acc = np.zeros(LTHASH_LANES, dtype=np.uint64)
+            for did, sha in zip(batch[id_col].to_numpy(), batch[sha_col].to_numpy()):
+                acc += _lthash_row_lanes(did, sha)
+            yield pd.DataFrame({"partial": [(acc % 65536).astype("int64")]})
+
+    rows = (
+        fps.select(id_col, sha_col)
+        .mapInPandas(kernel, schema="partial array<long>")
+        .collect()
+    )
+    total = np.zeros(LTHASH_LANES, dtype=np.uint64)
+    for r in rows:
+        total += np.asarray(r["partial"], dtype=np.uint64)
+    return _lanes_to_hex(total)
 
 
 def verify_content(

@@ -412,3 +412,122 @@ def test_old_manifest_without_digest_still_loads(tmp_path):
     man = read_manifest(out)
     assert man[0].content_sha_digest == ""
     assert isinstance(man[0], ShardRecord)
+
+
+# ------------------------------------------------------- LtHash digest
+
+
+def test_lthash_matches_hashlib_twin(spark, corpus_sdf):
+    """The distributed LtHash digest equals a pure-Python lane-sum of
+    integrity._lthash_row_lanes — off-platform recomputability for the
+    BINDING digest, same property the XOR fold proves in
+    test_local_xor_twin."""
+    import numpy as np
+
+    fps = integrity.content_fingerprints(corpus_sdf)
+    got = integrity.lthash_digest(fps)
+    acc = np.zeros(integrity.LTHASH_LANES, dtype=np.uint64)
+    for r in fps.collect():
+        acc += integrity._lthash_row_lanes(r["doc_id"], r["content_sha"])
+    assert got == integrity._lanes_to_hex(acc)
+    assert len(got) == integrity.LTHASH_LANES * 4
+
+
+def test_lthash_order_partition_independent_and_sensitive(spark, corpus_sdf):
+    """Same multiset ⇒ same digest regardless of row order or physical
+    partitioning; any single-row change ⇒ different digest; empty set ⇒
+    the identity."""
+    fps = integrity.content_fingerprints(corpus_sdf)
+    d1 = integrity.lthash_digest(fps.repartition(7))
+    d2 = integrity.lthash_digest(fps.coalesce(1).orderBy(F.desc("doc_id")))
+    assert d1 == d2
+    doc = fps.orderBy("doc_id").first()["doc_id"]
+    tampered = fps.withColumn(
+        "content_sha",
+        F.when(F.col("doc_id") == doc, F.lit("0" * 64)).otherwise(
+            F.col("content_sha")
+        ),
+    )
+    assert integrity.lthash_digest(tampered) != d1
+    empty = fps.filter(F.lit(False))
+    assert integrity.lthash_digest(empty) == integrity.LTHASH_IDENTITY
+
+
+def test_lthash_homomorphism(spark, corpus_sdf):
+    """combine(digest(A), digest(B)) == digest(A ∪ B) and remove is its
+    inverse — per-segment digests compose to the collection digest with
+    zero data movement."""
+    fps = integrity.content_fingerprints(corpus_sdf)
+    a = fps.filter(F.abs(F.hash("doc_id")) % 2 == 0)
+    b = fps.filter(F.abs(F.hash("doc_id")) % 2 == 1)
+    da, db, dall = (integrity.lthash_digest(x) for x in (a, b, fps))
+    assert integrity.lthash_combine(da, db) == dall
+    assert integrity.lthash_combine(db, da) == dall
+    assert integrity.lthash_remove(dall, da) == db
+    assert integrity.lthash_remove(dall, db) == da
+    assert integrity.lthash_combine(da, integrity.LTHASH_IDENTITY) == da
+
+
+def test_lthash_duckdb_twin(spark, corpus_sdf, tmp_path):
+    """A DIFFERENT engine recomputes the binding digest from raw parquet
+    alone: DuckDB expands each row with string-domain sha256 blocks and
+    lane-sums mod 2^16 — bit-identical to Spark's digest.  The
+    construction deliberately stays inside sha256-over-strings so this
+    twin needs nothing beyond ANSI-ish SQL + sha256."""
+    import duckdb
+
+    sub = corpus_sdf.select("doc_id", "content").orderBy("doc_id").limit(40)
+    src = str(tmp_path / "src.parquet")
+    sub.coalesce(1).write.parquet(src)
+    spark_digest = integrity.lthash_digest(
+        integrity.content_fingerprints(spark.read.parquet(src))
+    )
+    rows = duckdb.connect().execute(
+        f"""
+        WITH fp AS (
+          SELECT doc_id, sha256(content) AS content_sha FROM '{src}/*.parquet'
+        ), base AS (
+          SELECT sha256(coalesce(CAST(doc_id AS VARCHAR), '') || chr(10)
+                        || coalesce(content_sha, '')) AS b
+          FROM fp
+        ), blocks AS (
+          SELECT i, sha256(b || ':' || i) AS h
+          FROM base, range(0, {integrity.LTHASH_BLOCKS}) t(i)
+        ), lanes AS (
+          SELECT i * 16 + j AS lane,
+                 ('0x' || substr(h, 1 + 4 * j, 4))::INT AS v
+          FROM blocks, range(0, 16) u(j)
+        )
+        SELECT lane, sum(v) % 65536 AS s FROM lanes GROUP BY lane ORDER BY lane
+        """
+    ).fetchall()
+    assert len(rows) == integrity.LTHASH_LANES
+    duck_digest = "".join(format(int(s) & 0xFFFF, "04x") for _, s in rows)
+    assert duck_digest == spark_digest
+
+
+def test_lthash_segment_composition(spark, corpus_sdf, tmp_path):
+    """Per-segment sidecar digests compose (lthash_combine) to the
+    digest of the whole live fingerprint set — the audit a replica runs
+    after catch-up: O(segments × 2 KB) exchanged, no rescan of the
+    primary."""
+    import functools
+    import os
+
+    from terrier_spark.operators.index_build import build_index, write_index
+
+    seg_digests = []
+    seg_fps = []
+    for i in range(3):
+        docs = corpus_sdf.filter(F.abs(F.hash("doc_id")) % 3 == i)
+        seg_dir = str(tmp_path / f"seg_{i}")
+        write_index(build_index(docs), seg_dir, fingerprint_docs=docs)
+        fps = integrity.read_fingerprints(spark, seg_dir)
+        seg_fps.append(fps)
+        seg_digests.append(integrity.lthash_digest(fps))
+    combined = functools.reduce(integrity.lthash_combine, seg_digests)
+    union = functools.reduce(lambda a, b: a.unionByName(b), seg_fps)
+    assert combined == integrity.lthash_digest(union)
+    assert combined == integrity.lthash_digest(
+        integrity.content_fingerprints(corpus_sdf)
+    )
