@@ -13,17 +13,24 @@ Tests drive the operator over the events parquet as an
 availableNow file stream and assert the CLOSED-session results equal
 the batch window-function plan — the streaming/batch parity contract.
 
-Known divergence (ADVICE r4): the idle-flush timer is PROCESSING-time,
-so on a long-running stream a user whose next event arrives more than
-the timeout after the previous MICRO-BATCH — but within ``gap_s`` of
-last_ts in EVENT time — gets one batch-semantics session split into
-two closed sessions.  The availableNow tests hold parity because they
-drain before the 1800 s timers fire; exact gap-session parity on an
-unbounded stream needs EventTimeTimeout keyed to a watermark
-(timestamp-typed state + ``GroupStateTimeout.EventTimeTimeout``),
-which trades the idle-flush guarantee: a stalled SOURCE then never
-closes sessions.  The processing-time choice is deliberate for the
-ingest-monitoring use here; pick per workload.
+Two timeout modes (``timeout_mode``), because the idle-flush guarantee
+and exact gap-session parity are genuinely different contracts
+(ADVICE r4, closed in r5 by implementing the event-time dual):
+
+  * ``"processing"`` (default) — wall-clock idle flush.  A user idle
+    for ``gap_s`` of PROCESSING time gets their open session closed
+    even if the source stalls.  Divergence: a user whose next event
+    arrives more than the timeout after the previous micro-batch — but
+    within ``gap_s`` of last_ts in EVENT time — has one batch-semantics
+    session split into two (demonstrated, not just documented, by
+    tests/test_streaming.py::test_processing_vs_event_timeout_split).
+  * ``"event"`` — ``GroupStateTimeout.EventTimeTimeout`` keyed to the
+    stream's watermark: the timer fires only when the WATERMARK passes
+    last_ts + gap_s, and any event that could continue the session is
+    by then beyond-watermark late (dropped by contract), so a session
+    is never split — true batch parity on an unbounded stream.  The
+    trade: a stalled source stops the watermark and sessions stay open
+    indefinitely.  Pick per workload.
 """
 
 from __future__ import annotations
@@ -62,7 +69,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _sessionize_fn(gap_s: int, emit_open: bool):
+def _sessionize_fn(gap_s: int, emit_open: bool, timeout_mode: str = "processing"):
     def fn(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -109,7 +116,16 @@ def _sessionize_fn(gap_s: int, emit_open: bool):
             val += float(v)
             last_ts = int(t)
         state.update((last_ts, sno, n, val, start))
-        state.setTimeoutDuration(gap_s * 1000)
+        if timeout_mode == "event":
+            # Fire when the WATERMARK passes the event-time gap.  Spark
+            # rejects a timeout at-or-before the current watermark, so a
+            # group whose gap already elapsed (old rows surfacing after
+            # other users advanced the watermark) is clamped to wm+1 —
+            # it times out at the next watermark advance.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((last_ts + gap_s) * 1000, wm + 1))
+        else:
+            state.setTimeoutDuration(gap_s * 1000)
         out = closed
         if emit_open and n > 0:
             out = closed + [[user_id, sno, n, round(val, 6), start, last_ts]]
@@ -122,17 +138,34 @@ def _sessionize_fn(gap_s: int, emit_open: bool):
 
 
 def sessionize_stream(
-    events: DataFrame, gap_s: int = 1800, emit_open: bool = False
+    events: DataFrame,
+    gap_s: int = 1800,
+    emit_open: bool = False,
+    timeout_mode: str = "processing",
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Per-user gap sessionization with managed state.  ``emit_open``
     additionally emits the still-open session per batch (used in
-    availableNow tests so the final state is observable)."""
+    availableNow tests so the final state is observable).
+    ``timeout_mode``: "processing" (wall-clock idle flush) or "event"
+    (watermark-keyed, exact batch parity — see module docstring);
+    "event" applies ``watermark`` to the ts column, since
+    EventTimeTimeout requires one."""
+    if timeout_mode not in ("processing", "event"):
+        raise ValueError(f"timeout_mode must be processing|event, got {timeout_mode!r}")
+    if timeout_mode == "event" and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    conf = (
+        GroupStateTimeout.EventTimeTimeout
+        if timeout_mode == "event"
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn(gap_s, emit_open),
+        _sessionize_fn(gap_s, emit_open, timeout_mode),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )
 
 
@@ -141,10 +174,16 @@ def run_sessionize_over_parquet(
     parquet_path: str,
     gap_s: int = 1800,
     query_name: str = "sessions",
+    timeout_mode: str = "processing",
+    watermark: str = "30 days",
 ) -> DataFrame:
     """availableNow file-stream run of the stateful sessionizer over an
     events parquet; returns collected session rows (closed + the final
-    open session per user, since the stream ends)."""
+    open session per user, since the stream ends).  The default
+    ``watermark`` for event mode is deliberately wider than the events
+    table's time span: parquet part files are not time-ordered, so a
+    tight watermark would drop in-gap rows as late and break batch
+    parity — size the delay to the source's out-of-orderness."""
     from terrier_spark.streaming.windows import await_drained, stage_parquet_dir
 
     stream = (
@@ -152,7 +191,13 @@ def run_sessionize_over_parquet(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_parquet_dir(parquet_path, prefix="ts_sess_"))
     )
-    out = sessionize_stream(stream, gap_s=gap_s, emit_open=True)
+    out = sessionize_stream(
+        stream,
+        gap_s=gap_s,
+        emit_open=True,
+        timeout_mode=timeout_mode,
+        watermark=watermark,
+    )
     q = (
         out.writeStream.format("memory")
         .queryName(query_name)
