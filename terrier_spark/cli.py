@@ -247,6 +247,22 @@ def cmd_replica_ship(args) -> None:
     print(ship_result_json(res))
 
 
+def cmd_replica_verify(args) -> None:
+    """Local audit of a replica against its own manifest: recompute each
+    segment's LtHash from the replica-local content-sha sidecar and
+    compare to the ship-time value recorded from the primary's bytes —
+    transit corruption / bit rot shows up as a mismatch.  Exit 1 on any
+    mismatch.  No SparkSession needed."""
+    from terrier_spark.streaming.replica import verify_replica_digests
+
+    out = verify_replica_digests(args.replica)
+    out["op"] = "replica-verify"
+    out["status"] = "OK" if not out["mismatches"] else "CORRUPT"
+    print(json.dumps(out))
+    if out["mismatches"]:
+        sys.exit(1)
+
+
 def cmd_replica_query(args) -> None:
     """Serve a BM25 top-k from a REPLICA's committed segments — a
     second reader session (fresh process / SparkSession) independent of
@@ -413,6 +429,10 @@ def main(argv=None) -> None:
     rs.add_argument("--primary", required=True)
     rs.add_argument("--replica", required=True)
     rs.set_defaults(fn=cmd_replica_ship)
+
+    rv = sub.add_parser("replica-verify")
+    rv.add_argument("--replica", required=True)
+    rv.set_defaults(fn=cmd_replica_verify)
 
     rq = sub.add_parser("replica-query")
     rq.add_argument("--replica", required=True)

@@ -68,6 +68,70 @@ class ShipResult:
     retries: int = 0                                   # manifest re-reads
 
 
+def _lthash_of_sidecar(seg_dir: str) -> str | None:
+    """Binding LtHash digest (operators/integrity.py) of one segment's
+    content-sha sidecar, computed locally with a streaming pyarrow read
+    — no SparkSession, so ship_segments stays a pure file-ops call.
+    None when the segment predates sidecars.
+
+    Scale note: a segment is micro-batch-sized, so the driver-side loop
+    is bounded by ingest batch size, not index size.  For bulk-loaded
+    jumbo segments, compute with the distributed integrity.lthash_digest
+    instead and pass the values via ``known_digests``."""
+    from terrier_spark.operators import integrity
+
+    sidecar = os.path.join(seg_dir, integrity.FINGERPRINT_DIRNAME)
+    if not os.path.isdir(sidecar):
+        return None
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    acc = np.zeros(integrity.LTHASH_LANES, dtype=np.uint64)
+    data = ds.dataset(sidecar, format="parquet")
+    for batch in data.to_batches(columns=["doc_id", "content_sha"]):
+        for did, sha in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("content_sha").to_pylist(),
+        ):
+            acc += integrity._lthash_row_lanes(did, sha)
+    return integrity._lanes_to_hex(acc)
+
+
+def verify_replica_digests(replica_dir: str) -> dict:
+    """Audit the replica AGAINST ITS OWN manifest, entirely locally: for
+    every segment whose ship-time digest was recorded (computed from the
+    PRIMARY's sidecar bytes before transit), recompute the LtHash from
+    the replica-local sidecar and compare.  A mismatch means the bytes
+    changed between the primary read and now — transit corruption or
+    local bit rot.  Also returns the homomorphic combination of the
+    recorded digests: comparing that single 2 KB value against the
+    primary's ``integrity.lthash_digest(live_fingerprints(...))`` proves
+    set-level equality of the replicated corpus without moving a row."""
+    from terrier_spark.operators import integrity
+
+    segments = _read_manifest(replica_dir)
+    checked, skipped, mismatches = [], [], []
+    combined = integrity.LTHASH_IDENTITY
+    for s in segments:
+        recorded = s.get("lthash")
+        if not recorded:
+            skipped.append(s["name"])
+            continue
+        local = _lthash_of_sidecar(os.path.join(replica_dir, s["name"]))
+        checked.append(s["name"])
+        if local != recorded:
+            mismatches.append(
+                {"name": s["name"], "recorded": recorded, "recomputed": local}
+            )
+        combined = integrity.lthash_combine(combined, recorded)
+    return {
+        "checked": checked,
+        "skipped": skipped,
+        "mismatches": mismatches,
+        "collection_lthash": combined if checked and not skipped else None,
+    }
+
+
 def _copy_segment(primary_dir: str, replica_dir: str, name: str) -> None:
     """Crash-safe copy of one committed segment: copy into a .shipping
     staging dir, then rename into place.  rename() is atomic on one
@@ -88,7 +152,11 @@ def _copy_segment(primary_dir: str, replica_dir: str, name: str) -> None:
 
 
 def ship_segments(
-    primary_dir: str, replica_dir: str, max_retries: int = 3
+    primary_dir: str,
+    replica_dir: str,
+    max_retries: int = 3,
+    record_digests: bool = True,
+    known_digests: dict | None = None,
 ) -> ShipResult:
     """One replication round: make ``replica_dir`` serve exactly the
     primary's current manifest.  Incremental (copies only segments the
@@ -99,12 +167,26 @@ def ship_segments(
     references only the compacted survivors."""
     res = ShipResult()
     os.makedirs(replica_dir, exist_ok=True)
+    # Ship-time digests already recorded by a previous round: reused
+    # segments carry them forward so nothing is ever rehashed.
+    try:
+        prior = {
+            s["name"]: s["lthash"]
+            for s in _read_manifest(replica_dir)
+            if s.get("lthash")
+        }
+    except FileNotFoundError:
+        prior = {}
+    if known_digests:
+        prior.update(known_digests)
+    digests: dict = {}
     for attempt in range(max_retries + 1):
         segments = _read_manifest(primary_dir)
         if not segments:
             raise FileNotFoundError(f"no committed manifest under {primary_dir}")
         res.shipped.clear()
         res.reused.clear()
+        digests.clear()
         try:
             for s in segments:
                 dest = os.path.join(replica_dir, s["name"])
@@ -113,7 +195,24 @@ def ship_segments(
                 # so presence alone means "already shipped".
                 if os.path.isdir(dest):
                     res.reused.append(s["name"])
+                    if record_digests:
+                        # Carry the ship-time value forward; a pre-digest
+                        # segment gets one from its replica-local copy
+                        # (guards future rot, though not past transit).
+                        digests[s["name"]] = prior.get(
+                            s["name"]
+                        ) or _lthash_of_sidecar(dest)
                     continue
+                if record_digests and s["name"] not in prior:
+                    # Digest the PRIMARY's sidecar bytes BEFORE the copy
+                    # so the recorded value predates transit — inside
+                    # the retry guard, since a vacuum can race us here
+                    # exactly like the copy itself.
+                    digests[s["name"]] = _lthash_of_sidecar(
+                        os.path.join(primary_dir, s["name"])
+                    )
+                elif record_digests:
+                    digests[s["name"]] = prior[s["name"]]
                 _copy_segment(primary_dir, replica_dir, s["name"])
                 res.shipped.append(s["name"])
         except FileNotFoundError:
@@ -124,6 +223,13 @@ def ship_segments(
                 raise
             continue
         break
+    if record_digests:
+        segments = [
+            {**s, "lthash": digests[s["name"]]}
+            if digests.get(s["name"])
+            else s
+            for s in segments
+        ]
     # Publish: the replica's view flips here, atomically, to the full
     # snapshot — readers either see the old consistent set or the new.
     _commit_manifest(replica_dir, segments)

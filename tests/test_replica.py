@@ -225,3 +225,80 @@ def test_replica_query_cli_subprocess(spark, dirs, tmp_path):
     ]
     got = [(r["doc_id"], round(r["score"], 6)) for r in out["results"]]
     assert got == expect
+
+
+def test_ship_records_digests_and_verify_is_clean(spark, dirs):
+    """Ship-time LtHash digests land in the replica manifest, the local
+    audit passes, and the homomorphic combination equals the distributed
+    digest of the primary's whole live fingerprint set — set-level
+    primary/replica equality from 2 KB of state, no rescan."""
+    from terrier_spark.operators import integrity
+
+    _ingest(spark, dirs, [(0, 40), (40, 80)])
+    replica.ship_segments(dirs["p"], dirs["r"])
+    man = ingest._read_manifest(dirs["r"])
+    assert all(
+        s.get("lthash") and len(s["lthash"]) == integrity.LTHASH_LANES * 4
+        for s in man
+    )
+    rep = replica.verify_replica_digests(dirs["r"])
+    assert rep["mismatches"] == [] and rep["skipped"] == []
+    assert sorted(rep["checked"]) == sorted(s["name"] for s in man)
+    assert rep["collection_lthash"] == integrity.lthash_digest(
+        ingest.live_fingerprints(spark, dirs["p"])
+    )
+
+
+def test_reshipped_segments_carry_digests_forward(spark, dirs):
+    """An incremental round keeps previously recorded ship-time values
+    for reused segments (they predate transit; recomputing from the
+    replica copy would silently weaken the guarantee)."""
+    _ingest(spark, dirs, [(0, 40)])
+    replica.ship_segments(dirs["p"], dirs["r"])
+    first = {
+        s["name"]: s["lthash"] for s in ingest._read_manifest(dirs["r"])
+    }
+    ingest.ingest_batch(_tiny(spark, 40, 80), 1, dirs["p"], bucket_span=SPAN)
+    res = replica.ship_segments(dirs["p"], dirs["r"])
+    assert len(res.reused) == 1 and len(res.shipped) == 1
+    man = {s["name"]: s["lthash"] for s in ingest._read_manifest(dirs["r"])}
+    for name, d in first.items():
+        assert man[name] == d
+    assert replica.verify_replica_digests(dirs["r"])["mismatches"] == []
+
+
+def test_verify_detects_replica_sidecar_corruption(spark, dirs, tmp_path):
+    """Flipping one row's recorded sha in a replica-local sidecar makes
+    the audit report exactly that segment, and the CLI exits 1."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    _ingest(spark, dirs, [(0, 40), (40, 80)])
+    replica.ship_segments(dirs["p"], dirs["r"])
+    seg = ingest._read_manifest(dirs["r"])[0]["name"]
+    sidecar_files = glob.glob(
+        os.path.join(dirs["r"], seg, "content_sha", "*.parquet")
+    )
+    assert sidecar_files
+    t = pq.read_table(sidecar_files[0])
+    shas = t.column("content_sha").to_pylist()
+    shas[0] = "0" * 64
+    pq.write_table(
+        pa.table({"doc_id": t.column("doc_id"), "content_sha": pa.array(shas)}),
+        sidecar_files[0],
+    )
+    rep = replica.verify_replica_digests(dirs["r"])
+    assert [m["name"] for m in rep["mismatches"]] == [seg]
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "terrier_spark.cli", "replica-verify",
+         "--replica", dirs["r"]],
+        capture_output=True, text=True, cwd=repo_root,
+    )
+    assert proc.returncode == 1
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["status"] == "CORRUPT"
+    assert [m["name"] for m in out["mismatches"]] == [seg]

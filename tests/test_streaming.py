@@ -218,7 +218,7 @@ def test_processing_vs_event_timeout_split(spark, tmp_path):
     run_once("processing")
     run_once("event")
 
-    # processing: session 1 (ts 0-2) was flushed by the idle timer, so
+    # processing: session 1 (ts 10-12) was flushed by the idle timer, so
     # ts 14 opened session 2 — ONE batch-semantics session became two.
     # (A trailing (3, 1) row may follow when a late extra batch lands
     # > gap_s of wall time after batch D and idle-flushes the final
