@@ -218,7 +218,9 @@ def lthash_digest(
             yield pd.DataFrame({"partial": [(acc % 65536).astype("int64")]})
 
     rows = (
-        fps.select(id_col, sha_col)
+        # id cast to string JVM-side: pandas would float-ify a nullable
+        # int column and hash "5.0" where every twin hashes "5"
+        fps.select(F.col(id_col).cast("string").alias(id_col), sha_col)
         .mapInPandas(kernel, schema="partial array<long>")
         .collect()
     )
