@@ -531,3 +531,41 @@ def test_lthash_segment_composition(spark, corpus_sdf, tmp_path):
     assert combined == integrity.lthash_digest(
         integrity.content_fingerprints(corpus_sdf)
     )
+
+
+def test_lthash_algebra_properties():
+    """Hypothesis pin of the multiset-hash laws on the local kernel
+    twin (no Spark — the distributed path equals this twin by
+    test_lthash_matches_hashlib_twin): permutation invariance,
+    combine = digest of concatenation, remove is combine's inverse,
+    identity element, and duplicate rows are NOT absorbed (multiset,
+    not set, semantics — the XOR fold's duplicate-cancellation bug
+    class is structurally impossible here)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    sha_s = st.one_of(st.none(), st.text("0123456789abcdef", min_size=0, max_size=64))
+    row_s = st.tuples(st.one_of(st.integers(0, 2**40), st.text(max_size=8)), sha_s)
+    rows_s = st.lists(row_s, max_size=12)
+
+    def digest(rows):
+        acc = np.zeros(integrity.LTHASH_LANES, dtype=np.uint64)
+        for did, sha in rows:
+            acc += integrity._lthash_row_lanes(did, sha)
+        return integrity._lanes_to_hex(acc)
+
+    @settings(max_examples=60, deadline=None)
+    @given(a=rows_s, b=rows_s, seed=st.randoms())
+    def check(a, b, seed):
+        da, db = digest(a), digest(b)
+        assert integrity.lthash_combine(da, db) == digest(a + b)
+        assert integrity.lthash_remove(integrity.lthash_combine(da, db), db) == da
+        shuffled = list(a)
+        seed.shuffle(shuffled)
+        assert digest(shuffled) == da
+        assert integrity.lthash_combine(da, integrity.LTHASH_IDENTITY) == da
+        if a:
+            # a duplicated row changes the digest (multiset semantics)
+            assert digest(a + [a[0]]) != da
+
+    check()
