@@ -302,3 +302,27 @@ def test_verify_detects_replica_sidecar_corruption(spark, dirs, tmp_path):
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["status"] == "CORRUPT"
     assert [m["name"] for m in out["mismatches"]] == [seg]
+
+
+def test_digest_audit_survives_compaction_reship(spark, dirs):
+    """After the primary compacts, the re-ship records a FRESH digest
+    for the compacted segment (its name is new, so no stale carry-
+    forward is possible), the audit stays clean, and the collection
+    digest is unchanged — compaction rewrites the physical layout but
+    not the {(doc_id, sha)} multiset."""
+    from terrier_spark.operators import integrity
+
+    _ingest(spark, dirs, [(0, 40), (40, 80), (80, 120)])
+    replica.ship_segments(dirs["p"], dirs["r"])
+    before = replica.verify_replica_digests(dirs["r"])
+    assert before["mismatches"] == []
+
+    ingest.compact(spark, dirs["p"])
+    replica.ship_segments(dirs["p"], dirs["r"])
+    after = replica.verify_replica_digests(dirs["r"])
+    assert after["checked"] == ["seg_00000002_compacted"]
+    assert after["mismatches"] == [] and after["skipped"] == []
+    assert after["collection_lthash"] == before["collection_lthash"]
+    assert after["collection_lthash"] == integrity.lthash_digest(
+        ingest.live_fingerprints(spark, dirs["p"])
+    )
