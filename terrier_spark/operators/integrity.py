@@ -194,17 +194,13 @@ def lthash_remove(a: str, b: str) -> str:
     return _lanes_to_hex(_hex_to_lanes(a) + (65536 - (_hex_to_lanes(b) % 65536)))
 
 
-def lthash_digest(
+def _lthash_partials_df(
     fps: DataFrame, id_col: str = "doc_id", sha_col: str = "content_sha"
-) -> str:
-    """BINDING order-independent digest of a fingerprint multiset.
-    Equal digests ⇒ equal {(doc_id, sha)} multisets, adversarially:
-    finding two distinct multisets with one digest is a random modular
-    subset-sum / SIS instance in dimension 1024, unlike the forgeable
-    XOR fold (see module threat model).  Empty input → LTHASH_IDENTITY.
-
-    One mapInPandas pass emits a single partial-sum vector per
-    non-empty Arrow batch; the driver folds the partials.  No shuffle."""
+) -> DataFrame:
+    """The distributed leg of lthash_digest: one partial-sum lane vector
+    per non-empty Arrow batch, as a DataFrame — exposed so the no-shuffle
+    claim is plan-assertable (tests/test_integrity.py pins the physical
+    plan Exchange-free: scan → project → mapInPandas, nothing else)."""
 
     def kernel(it: Iterator) -> Iterator:
         import pandas as pd
@@ -217,13 +213,27 @@ def lthash_digest(
                 acc += _lthash_row_lanes(did, sha)
             yield pd.DataFrame({"partial": [(acc % 65536).astype("int64")]})
 
-    rows = (
+    return (
         # id cast to string JVM-side: pandas would float-ify a nullable
         # int column and hash "5.0" where every twin hashes "5"
         fps.select(F.col(id_col).cast("string").alias(id_col), sha_col)
         .mapInPandas(kernel, schema="partial array<long>")
-        .collect()
     )
+
+
+def lthash_digest(
+    fps: DataFrame, id_col: str = "doc_id", sha_col: str = "content_sha"
+) -> str:
+    """BINDING order-independent digest of a fingerprint multiset.
+    Equal digests ⇒ equal {(doc_id, sha)} multisets, adversarially:
+    finding two distinct multisets with one digest is a random modular
+    subset-sum / SIS instance in dimension 1024, unlike the forgeable
+    XOR fold (see module threat model).  Empty input → LTHASH_IDENTITY.
+
+    One mapInPandas pass emits a single partial-sum vector per
+    non-empty Arrow batch; the driver folds the partials.  No shuffle
+    (plan-pinned)."""
+    rows = _lthash_partials_df(fps, id_col, sha_col).collect()
     total = np.zeros(LTHASH_LANES, dtype=np.uint64)
     for r in rows:
         total += np.asarray(r["partial"], dtype=np.uint64)

@@ -569,3 +569,19 @@ def test_lthash_algebra_properties():
             assert digest(a + [a[0]]) != da
 
     check()
+
+
+def test_lthash_partials_plan_is_shuffle_free(spark, corpus_sdf):
+    """The docstring's scale claim, pinned on the physical plan: the
+    partial-sum leg is scan → project → mapInPandas with NO Exchange —
+    driver state is O(partitions), and nothing reshuffles 100 TB of
+    fingerprints to hash them."""
+    fps = integrity.content_fingerprints(corpus_sdf)
+    plan = (
+        integrity._lthash_partials_df(fps)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
